@@ -1,0 +1,84 @@
+"""Token-exact parity of the TPU-parallel encoder vs the native trie encoder."""
+
+import numpy as np
+import pytest
+
+from ecg_byte_tpu.ops import bpe_encode
+from ecg_byte_tpu.ops.quantize import bytes_to_quantized, normalize_quantize
+from ecg_byte_tpu.tokenizer import native
+
+
+def _ecg_like_symbols(rng, n):
+    steps = rng.integers(-1, 2, size=n).cumsum()
+    return np.clip(steps % 26, 0, 25).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    rng = np.random.default_rng(0)
+    corpus = bytes((_ecg_like_symbols(rng, 20000) + ord("a")))
+    _, merges = native.train(corpus, 200)
+    return merges, native.NativeEncoder(merges)
+
+
+def test_device_encode_matches_native(trained):
+    merges, enc = trained
+    automaton = bpe_encode.build_automaton(merges)
+    rng = np.random.default_rng(3)
+    for n in [1, 7, 500, 6000]:
+        q = _ecg_like_symbols(rng, n)
+        ids, count = bpe_encode.encode(q, automaton)
+        got = np.asarray(ids)[: int(count)]
+        want = enc.encode(bytes(q + ord("a")))
+        np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
+        # padding after count
+        assert np.all(np.asarray(ids)[int(count):] == bpe_encode.PAD_TOKEN)
+
+
+def test_device_encode_batched(trained):
+    merges, enc = trained
+    automaton = bpe_encode.build_automaton(merges)
+    rng = np.random.default_rng(4)
+    q = np.stack([_ecg_like_symbols(rng, 1200) for _ in range(5)])
+    ids, counts = bpe_encode.encode(q, automaton)
+    for b in range(5):
+        want = enc.encode(bytes(q[b] + ord("a")))
+        np.testing.assert_array_equal(np.asarray(ids[b])[: int(counts[b])], want)
+
+
+def test_device_encode_uniform_symbols(trained):
+    """Degenerate runs exercise overlap + longest-match heavily."""
+    merges, enc = trained
+    automaton = bpe_encode.build_automaton(merges)
+    q = np.zeros(777, dtype=np.uint8)  # "aaaa..."
+    ids, count = bpe_encode.encode(q, automaton)
+    want = enc.encode(b"a" * 777)
+    np.testing.assert_array_equal(np.asarray(ids)[: int(count)], want)
+
+
+def test_quantize_and_encode_fused(trained):
+    merges, enc = trained
+    automaton = bpe_encode.build_automaton(merges)
+    rng = np.random.default_rng(5)
+    signal = rng.normal(size=(3, 12, 500)).astype(np.float32)
+    p1, p99 = np.percentile(signal, 1), np.percentile(signal, 99)
+    ids, counts = bpe_encode.quantize_and_encode(signal, p1, p99, automaton)
+    assert ids.shape == (3, 6000)
+    # parity with the two-step host path
+    _, q = normalize_quantize(signal, p1, p99)
+    q = np.asarray(q).reshape(3, -1)
+    for b in range(3):
+        want = enc.encode(bytes(q[b] + ord("a")))
+        np.testing.assert_array_equal(np.asarray(ids[b])[: int(counts[b])], want)
+
+
+def test_automaton_structure(trained):
+    merges, _ = trained
+    automaton = bpe_encode.build_automaton(merges)
+    assert automaton.trans.shape[1] == 27
+    # dead state absorbs; root has all 26 single-symbol children terminal
+    assert np.all(np.asarray(automaton.trans)[0] == 0)
+    root_children = np.asarray(automaton.trans)[1, :26]
+    assert np.all(root_children > 0)
+    toks = np.asarray(automaton.token)[root_children]
+    np.testing.assert_array_equal(toks, np.arange(26) + ord("a"))
