@@ -1,0 +1,461 @@
+"""Functional causal-LM transformer covering Llama-3.2 / Gemma / GPT-2.
+
+Pure-function design: parameters are a pytree of arrays with layers stacked
+on a leading axis and the forward pass a ``lax.scan`` over them — one
+compiled layer body regardless of depth, cheap rematerialization, and
+shardings annotate the stacked arrays directly (parallel/sharding.py).
+
+Replaces the reference's use of HF ``AutoModelForCausalLM`` (main.py:141-142)
+plus its vendored transformers fork.  Matches the HF semantics the reference
+depends on: left-pad attention masking with explicit ``position_ids``
+(data_loader.py:26-31), labels with ``-100`` ignore (shift-by-one causal
+loss), ``resize_token_embeddings`` with mean-init rows (main.py:144-151),
+and an eager attention path that returns per-layer attention maps for
+interpret mode (models/llm.py:12-23).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ecg_byte_tpu.models.config import TransformerConfig
+from ecg_byte_tpu.ops.attention import causal_attention, decode_attention
+
+Params = Dict[str, Any]
+
+
+def _dtype(config: TransformerConfig):
+    return jnp.dtype(config.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+
+
+def init_params(config: TransformerConfig, rng: jax.Array) -> Params:
+    """Random-init parameter tree (normal(0.02) dense init, ones norms)."""
+    dt = _dtype(config)
+    c = config
+    keys = jax.random.split(rng, 16)
+
+    def dense(key, shape, scale=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dt)
+
+    L = c.num_layers
+    layers: Params = {
+        "attn_norm": jnp.ones((L, c.hidden_size), dt),
+        "q_proj": {"kernel": dense(keys[0], (L, c.hidden_size, c.qkv_dim))},
+        "k_proj": {"kernel": dense(keys[1], (L, c.hidden_size, c.kv_dim))},
+        "v_proj": {"kernel": dense(keys[2], (L, c.hidden_size, c.kv_dim))},
+        "o_proj": {"kernel": dense(keys[3], (L, c.qkv_dim, c.hidden_size))},
+        "mlp_norm": jnp.ones((L, c.hidden_size), dt),
+        "up_proj": {"kernel": dense(keys[4], (L, c.hidden_size, c.intermediate_size))},
+        "down_proj": {"kernel": dense(keys[5], (L, c.intermediate_size, c.hidden_size))},
+    }
+    if c.hidden_act in ("silu", "gelu_tanh"):  # gated MLP (llama / gemma)
+        layers["gate_proj"] = {
+            "kernel": dense(keys[6], (L, c.hidden_size, c.intermediate_size))
+        }
+    if c.use_bias:
+        for name, out_dim in (
+            ("q_proj", c.qkv_dim),
+            ("k_proj", c.kv_dim),
+            ("v_proj", c.kv_dim),
+            ("o_proj", c.hidden_size),
+            ("up_proj", c.intermediate_size),
+            ("down_proj", c.hidden_size),
+        ):
+            layers[name]["bias"] = jnp.zeros((L, out_dim), dt)
+        layers["attn_norm_bias"] = jnp.zeros((L, c.hidden_size), dt)
+        layers["mlp_norm_bias"] = jnp.zeros((L, c.hidden_size), dt)
+
+    params: Params = {
+        "embed": dense(keys[7], (c.vocab_size, c.hidden_size)),
+        "layers": layers,
+        "final_norm": jnp.ones((c.hidden_size,), dt),
+    }
+    if c.use_bias:
+        params["final_norm_bias"] = jnp.zeros((c.hidden_size,), dt)
+    if c.learned_pos_embeddings:
+        params["pos_embed"] = dense(keys[8], (c.max_position_embeddings, c.hidden_size))
+    if not c.tie_word_embeddings:
+        params["lm_head"] = dense(keys[9], (c.hidden_size, c.vocab_size))
+    return params
+
+
+def resize_embeddings(
+    params: Params, config: TransformerConfig, new_vocab_size: int
+) -> Tuple[Params, TransformerConfig]:
+    """Grow the embedding (and untied head) to ``new_vocab_size``.
+
+    New rows are initialized to the mean of existing rows, matching HF
+    ``resize_token_embeddings`` mean-resizing (main.py:151 usage).
+    """
+    old = params["embed"]
+    n_new = new_vocab_size - old.shape[0]
+    if n_new <= 0:
+        return params, config
+    mean_row = jnp.mean(old.astype(jnp.float32), axis=0, keepdims=True)
+    new_rows = jnp.broadcast_to(mean_row, (n_new, old.shape[1])).astype(old.dtype)
+    params = dict(params)
+    params["embed"] = jnp.concatenate([old, new_rows], axis=0)
+    if "lm_head" in params:
+        head = params["lm_head"]
+        mean_col = jnp.mean(head.astype(jnp.float32), axis=1, keepdims=True)
+        new_cols = jnp.broadcast_to(mean_col, (head.shape[0], n_new)).astype(head.dtype)
+        params["lm_head"] = jnp.concatenate([head, new_cols], axis=1)
+    return params, config.replace(vocab_size=new_vocab_size)
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+
+
+def _norm(x, weight, bias, config: TransformerConfig):
+    eps = config.norm_eps
+    xf = x.astype(jnp.float32)
+    if config.arch == "gpt2":  # LayerNorm
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.var(xf, -1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+    else:  # RMSNorm
+        var = jnp.mean(jnp.square(xf), -1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + eps)
+        w = weight.astype(jnp.float32)
+        if config.rmsnorm_unit_offset:  # gemma: scale by (1 + w)
+            w = 1.0 + w
+        y = y * w
+    return y.astype(x.dtype)
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding, HF rotate-half convention.
+
+    x: (B, S, H, D); positions: (B, S) int32.
+    """
+    d = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (np.arange(0, d, 2, dtype=np.float32) / d))
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # (B, S, D/2)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _act(x, kind: str):
+    if kind == "silu":
+        return jax.nn.silu(x)
+    # gemma 'gelu_tanh' and gpt2 'gelu_new' are both tanh-approximated gelu
+    return jax.nn.gelu(x, approximate=True)
+
+
+def _proj(x, layer_p, name, lora_p, config: TransformerConfig, dropout_rng):
+    """Dense projection with optional LoRA overlay (models/lora.py trees)."""
+    p = layer_p[name]
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    if lora_p is not None and name in lora_p:
+        a, b = lora_p[name]["a"], lora_p[name]["b"]  # (in, r), (r, out)
+        xin = x
+        rate = config.lora_dropout
+        if dropout_rng is not None and rate > 0.0:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(dropout_rng, hash(name) % (2**31)),
+                1.0 - rate,
+                x.shape,
+            )
+            xin = jnp.where(keep, x / (1.0 - rate), 0.0)
+        y = y + ((xin @ a) @ b) * (config.lora_alpha / config.lora_rank)
+    return y
+
+
+AttnFn = Callable[[jax.Array, jax.Array, jax.Array], Tuple[jax.Array, Any]]
+
+
+def _block(
+    config: TransformerConfig,
+    h: jax.Array,
+    layer_p: Params,
+    lora_p: Optional[Params],
+    positions: jax.Array,
+    attn_fn: AttnFn,
+    dropout_rng=None,
+) -> Tuple[jax.Array, Any]:
+    """One transformer block with a pluggable attention core.
+
+    ``attn_fn(q, k, v) -> (attn_out (B,S,H,D), aux)`` — the caller decides
+    whether that's flash attention, eager with probabilities, or KV-cache
+    decode attention (and threads cache state through ``aux``).
+    """
+    c = config
+    b, s, _ = h.shape
+
+    hn = _norm(h, layer_p["attn_norm"], layer_p.get("attn_norm_bias"), c)
+    q = _proj(hn, layer_p, "q_proj", lora_p, c, dropout_rng)
+    k = _proj(hn, layer_p, "k_proj", lora_p, c, dropout_rng)
+    v = _proj(hn, layer_p, "v_proj", lora_p, c, dropout_rng)
+    q = q.reshape(b, s, c.num_heads, c.head_dim)
+    k = k.reshape(b, s, c.num_kv_heads, c.head_dim)
+    v = v.reshape(b, s, c.num_kv_heads, c.head_dim)
+    if not c.learned_pos_embeddings:
+        q = _rope(q, positions, c.rope_theta)
+        k = _rope(k, positions, c.rope_theta)
+    attn, aux = attn_fn(q, k, v)
+    attn = attn.reshape(b, s, c.qkv_dim)
+    h = h + _proj(attn, layer_p, "o_proj", lora_p, c, dropout_rng)
+
+    hn = _norm(h, layer_p["mlp_norm"], layer_p.get("mlp_norm_bias"), c)
+    up = _proj(hn, layer_p, "up_proj", lora_p, c, dropout_rng)
+    if "gate_proj" in layer_p:
+        gate = _proj(hn, layer_p, "gate_proj", lora_p, c, dropout_rng)
+        inner = _act(gate, c.hidden_act) * up
+    else:
+        inner = _act(up, c.hidden_act)
+    h = h + _proj(inner, layer_p, "down_proj", lora_p, c, dropout_rng)
+    return h, aux
+
+
+def _scan_layers(
+    config: TransformerConfig,
+    h: jax.Array,
+    params: Params,
+    lora: Optional[Params],
+    layer_step,  # (h, layer_p, lora_p, extra_xs) -> (h, ys)
+    extra_xs=None,  # optional pytree with leading layer axis
+    remat: bool = False,
+):
+    """Scan ``layer_step`` over the stacked layer axis."""
+    layers = params["layers"]
+    lora_layers = lora["layers"] if lora is not None else None
+    have_lora = lora_layers is not None
+    have_extra = extra_xs is not None
+
+    xs = (layers,)
+    if have_lora:
+        xs = xs + (lora_layers,)
+    if have_extra:
+        xs = xs + (extra_xs,)
+
+    def body(carry, packed):
+        idx = 1
+        layer_p = packed[0]
+        lora_p = packed[idx] if have_lora else None
+        idx += int(have_lora)
+        extra = packed[idx] if have_extra else None
+        return layer_step(carry, layer_p, lora_p, extra)
+
+    if remat:
+        body = jax.checkpoint(body)
+    return jax.lax.scan(body, h, xs)
+
+
+def _embed(params, config: TransformerConfig, input_ids, positions):
+    h = jnp.take(params["embed"], input_ids, axis=0)
+    if config.embed_scale:
+        h = h * jnp.asarray(np.sqrt(config.hidden_size), h.dtype)
+    if config.learned_pos_embeddings:
+        h = h + jnp.take(params["pos_embed"], positions, axis=0)
+    return h
+
+
+def _inputs_to_hidden(params, config, input_ids, position_ids, inputs_embeds):
+    if inputs_embeds is None:
+        return _embed(params, config, input_ids, position_ids)
+    h = inputs_embeds.astype(_dtype(config))
+    if config.embed_scale:
+        h = h * jnp.asarray(np.sqrt(config.hidden_size), h.dtype)
+    if config.learned_pos_embeddings:
+        h = h + jnp.take(params["pos_embed"], position_ids, axis=0)
+    return h
+
+
+def _unembed(params, config: TransformerConfig, h):
+    hn = _norm(h, params["final_norm"], params.get("final_norm_bias"), config)
+    if config.tie_word_embeddings:
+        logits = hn @ params["embed"].T
+    else:
+        logits = hn @ params["lm_head"]
+    return logits.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Public forward / loss
+
+
+def make_position_ids(attn_mask: jax.Array) -> jax.Array:
+    """cumsum-over-valid minus one, pads pinned to 0 (data_loader.py:26-31)."""
+    mask = attn_mask.astype(jnp.int32)
+    pos = jnp.cumsum(mask, axis=-1) - 1
+    return jnp.where(mask == 0, 0, pos)
+
+
+def forward(
+    params: Params,
+    config: TransformerConfig,
+    input_ids: Optional[jax.Array],
+    attn_mask: Optional[jax.Array] = None,
+    position_ids: Optional[jax.Array] = None,
+    *,
+    lora: Optional[Params] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    dropout_rng: Optional[jax.Array] = None,
+    return_attentions: bool = False,
+    remat: bool = True,
+):
+    """Causal LM forward pass -> float32 logits (B, S, V).
+
+    ``attn_mask``: (B, S) 1/0 validity (pads are 0, data_loader.py:22-23).
+    ``position_ids``: (B, S); defaults to the reference's cumsum convention.
+    ``inputs_embeds``: optional (B, S, D) replacing the embedding lookup —
+    the two-stage fusion path (models/llm.py:71-76).
+    ``return_attentions``: eager path; also returns (L, B, H, S, S) probs.
+    """
+    c = config
+    if attn_mask is None:
+        shape = input_ids.shape if input_ids is not None else inputs_embeds.shape[:2]
+        attn_mask = jnp.ones(shape, jnp.int32)
+    if position_ids is None:
+        position_ids = make_position_ids(attn_mask)
+    h = _inputs_to_hidden(params, c, input_ids, position_ids, inputs_embeds)
+
+    if return_attentions:
+        all_probs = []
+        for i in range(c.num_layers):
+            layer_p = jax.tree.map(lambda x: x[i], params["layers"])
+            lora_p = (
+                jax.tree.map(lambda x: x[i], lora["layers"])
+                if lora is not None
+                else None
+            )
+
+            def attn_fn(q, k, v):
+                return causal_attention(q, k, v, attn_mask, return_probs=True)
+
+            h, probs = _block(c, h, layer_p, lora_p, position_ids, attn_fn)
+            all_probs.append(probs)
+        return _unembed(params, c, h), jnp.stack(all_probs)
+
+    def layer_step(h, layer_p, lora_p, _):
+        def attn_fn(q, k, v):
+            return causal_attention(q, k, v, attn_mask)
+
+        h, _aux = _block(
+            c, h, layer_p, lora_p, position_ids, attn_fn, dropout_rng
+        )
+        return h, None
+
+    h, _ = _scan_layers(c, h, params, lora, layer_step, remat=remat)
+    return _unembed(params, c, h)
+
+
+def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """HF CausalLM loss: shift-by-one cross entropy, -100 ignored, mean."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    total = jnp.sum(jnp.where(valid, -token_ll, 0.0))
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return total / count
+
+
+# ---------------------------------------------------------------------------
+# KV-cache decode
+
+
+def init_kv_cache(
+    config: TransformerConfig, batch: int, max_len: int, dtype=None
+) -> Params:
+    dt = dtype or _dtype(config)
+    shape = (config.num_layers, batch, max_len, config.num_kv_heads, config.head_dim)
+    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+
+
+def _cache_write(cache: jax.Array, new: jax.Array, idx) -> jax.Array:
+    """Write (B, s, KH, D) at position idx along axis 1 of the cache."""
+    return jax.lax.dynamic_update_slice(
+        cache, new.astype(cache.dtype), (0, idx, 0, 0)
+    )
+
+
+def prefill(
+    params: Params,
+    config: TransformerConfig,
+    input_ids: Optional[jax.Array],
+    attn_mask: jax.Array,
+    cache: Params,
+    *,
+    lora: Optional[Params] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    position_ids: Optional[jax.Array] = None,
+):
+    """Run the prompt, filling cache slots [0, S).
+
+    Returns (last-position logits (B, V), cache, next_positions (B,)).
+    """
+    c = config
+    if position_ids is None:
+        position_ids = make_position_ids(attn_mask)
+    h = _inputs_to_hidden(params, c, input_ids, position_ids, inputs_embeds)
+
+    def step(h, layer_p, lora_p, caches):
+        kc, vc = caches
+
+        def attn_fn(q, k, v):
+            kc2 = _cache_write(kc, k, 0)
+            vc2 = _cache_write(vc, v, 0)
+            out, _ = causal_attention(q, k, v, attn_mask)
+            return out, (kc2, vc2)
+
+        return _block(c, h, layer_p, lora_p, position_ids, attn_fn)
+
+    h, (k_new, v_new) = _scan_layers(
+        c, h, params, lora, step, extra_xs=(cache["k"], cache["v"])
+    )
+    logits = _unembed(params, c, h[:, -1:])[:, 0]
+    next_pos = jnp.max(make_position_ids(attn_mask), axis=-1) + 1
+    return logits, {"k": k_new, "v": v_new}, next_pos
+
+
+def decode_step(
+    params: Params,
+    config: TransformerConfig,
+    token: jax.Array,  # (B,) int32
+    positions: jax.Array,  # (B,) rope/absolute position of this token
+    write_idx,  # int32 scalar: cache slot to write
+    cache: Params,
+    cache_mask: jax.Array,  # (B, S_max) valid cache slots incl. this one
+    *,
+    lora: Optional[Params] = None,
+):
+    """One decode step.  Returns (logits (B, V), new_cache)."""
+    c = config
+    pos2d = positions[:, None]
+    h = _embed(params, c, token[:, None], pos2d)
+
+    def step(h, layer_p, lora_p, caches):
+        kc, vc = caches
+
+        def attn_fn(q, k, v):
+            kc2 = _cache_write(kc, k, write_idx)
+            vc2 = _cache_write(vc, v, write_idx)
+            out = decode_attention(q, kc2, vc2, cache_mask)
+            return out, (kc2, vc2)
+
+        return _block(c, h, layer_p, lora_p, pos2d, attn_fn)
+
+    h, (k_new, v_new) = _scan_layers(
+        c, h, params, lora, step, extra_xs=(cache["k"], cache["v"])
+    )
+    logits = _unembed(params, c, h)[:, 0]
+    return logits, {"k": k_new, "v": v_new}

@@ -1,0 +1,136 @@
+"""Attention ops: causal (left-pad aware) self-attention for train/interpret,
+single-step decode attention over a KV cache.
+
+Two execution paths mirror the reference's sdpa/eager split
+(transformers modeling_llama.py:538-541 via SURVEY.md):
+
+  - the fused path (default) never materializes probabilities: a Pallas
+    flash-attention kernel on TPU when applicable, else an XLA softmax
+    fusion;
+  - the eager path returns per-head probabilities for interpret mode
+    (runners/interpret.py:53 consumes layer-averaged attention maps).
+
+Masking semantics match HF causal LMs with left padding: pad key positions
+are excluded via the (B, S) validity mask, queries attend causally.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    """(B, S, KH, D) -> (B, S, KH * n_rep, D) by head repetition (GQA)."""
+    if n_rep == 1:
+        return x
+    b, s, kh, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, kh, n_rep, d)).reshape(
+        b, s, kh * n_rep, d
+    )
+
+
+def causal_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pad_mask: Optional[jax.Array] = None,
+    *,
+    return_probs: bool = False,
+    use_flash: Optional[bool] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Causal multi-head attention with optional left-pad key masking.
+
+    Args:
+      q: (B, S, H, D); k, v: (B, S, KH, D) with H % KH == 0.
+      pad_mask: optional (B, S) with 1 for valid tokens, 0 for padding.
+      return_probs: eager path; also return (B, H, S, S) probabilities.
+      use_flash: force/disable the Pallas kernel; default auto (TPU and not
+        returning probabilities).
+
+    Returns:
+      (out (B, S, H, D), probs or None)
+    """
+    n_rep = q.shape[2] // k.shape[2]
+    if use_flash is None:
+        use_flash = (not return_probs) and _flash_available()
+    if use_flash and not return_probs:
+        out = _flash_attention(q, k, v, pad_mask)
+        if out is not None:
+            return out, None
+
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+    b, s, h, d = q.shape
+    scale = d**-0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, precision=jax.lax.Precision.DEFAULT
+    ) * scale
+    causal = jnp.tril(jnp.ones((s, s), jnp.bool_))
+    bias = jnp.where(causal[None, None], 0.0, _NEG_INF)
+    if pad_mask is not None:
+        key_ok = pad_mask[:, None, None, :].astype(jnp.bool_)
+        bias = bias + jnp.where(key_ok, 0.0, _NEG_INF)
+    logits = logits + bias
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return out, (probs if return_probs else None)
+
+
+@functools.lru_cache(maxsize=1)
+def _flash_available() -> bool:
+    try:
+        devs = jax.devices()
+    except RuntimeError:
+        return False
+    if not devs or devs[0].platform not in ("tpu", "axon"):
+        return False
+    try:
+        from ecg_byte_tpu.ops import flash_attention  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _flash_attention(q, k, v, pad_mask):
+    """Dispatch to the Pallas flash kernel; None if shapes unsupported."""
+    try:
+        from ecg_byte_tpu.ops import flash_attention as fa
+
+        return fa.flash_attention(q, k, v, pad_mask)
+    except (ImportError, NotImplementedError):
+        return None
+
+
+def decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    valid_mask: jax.Array,
+) -> jax.Array:
+    """Single-position attention over a KV cache for autoregressive decode.
+
+    Args:
+      q: (B, 1, H, D) query for the current position.
+      k_cache, v_cache: (B, S_max, KH, D) with filled prefix.
+      valid_mask: (B, S_max) — 1 for cache positions that may be attended
+        (filled and non-pad).
+
+    Returns: (B, 1, H, D).
+    """
+    n_rep = q.shape[2] // k_cache.shape[2]
+    k = _repeat_kv(k_cache, n_rep)
+    v = _repeat_kv(v_cache, n_rep)
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (d**-0.5)
+    logits = logits + jnp.where(
+        valid_mask[:, None, None, :].astype(jnp.bool_), 0.0, _NEG_INF
+    )
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)

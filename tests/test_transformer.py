@@ -1,0 +1,201 @@
+"""Transformer correctness: masking/position semantics, loss, decode parity
+with the full forward pass, LoRA overlay behavior, all three arch families."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecg_byte_tpu.models import tiny_test_config
+from ecg_byte_tpu.models import lora as lora_lib
+from ecg_byte_tpu.models import transformer as T
+
+
+@pytest.fixture(scope="module", params=["llama", "gemma", "gpt2"])
+def model(request):
+    config = tiny_test_config(request.param)
+    params = T.init_params(config, jax.random.PRNGKey(0))
+    return config, params
+
+
+def _batch(config, rng, b=2, s=16, n_pad=3):
+    ids = rng.integers(0, config.vocab_size, size=(b, s)).astype(np.int32)
+    mask = np.ones((b, s), np.int32)
+    mask[:, :n_pad] = 0  # left padding
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+def test_forward_shapes_and_dtype(model):
+    config, params = model
+    ids, mask = _batch(config, np.random.default_rng(0))
+    logits = T.forward(params, config, ids, mask)
+    assert logits.shape == (2, 16, config.vocab_size)
+    assert logits.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_position_ids_reference_convention():
+    mask = jnp.asarray([[0, 0, 1, 1, 1], [1, 1, 1, 1, 1]])
+    pos = np.asarray(T.make_position_ids(mask))
+    np.testing.assert_array_equal(pos, [[0, 0, 0, 1, 2], [0, 1, 2, 3, 4]])
+
+
+def test_left_pad_invariance(model):
+    """Valid-token logits must not depend on left-pad token ids."""
+    config, params = model
+    rng = np.random.default_rng(1)
+    ids, mask = _batch(config, rng, b=1, s=12, n_pad=4)
+    logits1 = T.forward(params, config, ids, mask)
+    ids2 = np.asarray(ids).copy()
+    ids2[:, :4] = (ids2[:, :4] + 7) % config.vocab_size  # scramble pads
+    logits2 = T.forward(params, config, jnp.asarray(ids2), mask)
+    if config.learned_pos_embeddings:
+        # gpt2 adds pos embeds by position id; pads have pos 0 but their ids
+        # still differ -> only compare valid region
+        pass
+    np.testing.assert_allclose(
+        np.asarray(logits1)[:, 4:], np.asarray(logits2)[:, 4:], atol=2e-4
+    )
+
+
+def test_loss_ignore_index(model):
+    config, params = model
+    ids, mask = _batch(config, np.random.default_rng(2))
+    logits = T.forward(params, config, ids, mask)
+    labels_all_ignored = jnp.full(ids.shape, -100)
+    assert float(T.causal_lm_loss(logits, labels_all_ignored)) == 0.0
+    labels = jnp.where(mask == 1, ids, -100)
+    loss = float(T.causal_lm_loss(logits, labels))
+    assert 0.0 < loss < 3 * np.log(config.vocab_size)
+
+
+def test_loss_matches_manual():
+    config = tiny_test_config("llama", vocab_size=11)
+    params = T.init_params(config, jax.random.PRNGKey(1))
+    ids = jnp.asarray([[1, 2, 3, 4]])
+    labels = jnp.asarray([[-100, 2, 3, -100]])
+    logits = T.forward(params, config, ids)
+    lp = jax.nn.log_softmax(np.asarray(logits, np.float64), axis=-1)
+    want = -(lp[0, 0, 2] + lp[0, 1, 3]) / 2
+    got = float(T.causal_lm_loss(logits, labels))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_decode_matches_forward(model):
+    """Greedy prefill+decode_step must reproduce argmax of the full forward."""
+    config, params = model
+    rng = np.random.default_rng(3)
+    b, s_prompt, n_new, s_max = 2, 10, 5, 20
+    ids, mask = _batch(config, rng, b=b, s=s_prompt, n_pad=2)
+
+    # incremental path
+    cache = T.init_kv_cache(config, b, s_max)
+    logits, cache, next_pos = T.prefill(params, config, ids, mask, cache)
+    toks = [jnp.argmax(logits, -1).astype(jnp.int32)]
+    cache_mask = jnp.concatenate(
+        [mask, jnp.zeros((b, s_max - s_prompt), jnp.int32)], axis=1
+    )
+    positions = next_pos
+    for step in range(1, n_new):
+        widx = s_prompt + step - 1
+        cache_mask = cache_mask.at[:, widx].set(1)
+        logits, cache = T.decode_step(
+            params, config, toks[-1], positions, widx, cache, cache_mask
+        )
+        positions = positions + 1
+        toks.append(jnp.argmax(logits, -1).astype(jnp.int32))
+
+    # full-forward path: append tokens one by one and argmax the last position
+    full_ids, full_mask = np.asarray(ids), np.asarray(mask)
+    want = []
+    for _ in range(n_new):
+        logits_full = T.forward(
+            params, config, jnp.asarray(full_ids), jnp.asarray(full_mask)
+        )
+        nxt = np.asarray(jnp.argmax(logits_full[:, -1], -1)).astype(np.int32)
+        want.append(nxt)
+        full_ids = np.concatenate([full_ids, nxt[:, None]], axis=1)
+        full_mask = np.concatenate(
+            [full_mask, np.ones((b, 1), np.int32)], axis=1
+        )
+
+    got = np.stack([np.asarray(t) for t in toks])
+    np.testing.assert_array_equal(got, np.stack(want))
+
+
+def test_lora_zero_init_is_identity(model):
+    config, params = model
+    lora = lora_lib.init_lora(config, jax.random.PRNGKey(5))
+    ids, mask = _batch(config, np.random.default_rng(4))
+    base = T.forward(params, config, ids, mask)
+    with_lora = T.forward(params, config, ids, mask, lora=lora)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(with_lora), atol=1e-6)
+
+
+def test_lora_merge_matches_overlay(model):
+    config, params = model
+    rng = jax.random.PRNGKey(6)
+    lora = lora_lib.init_lora(config, rng)
+    # make B nonzero so the adapter does something
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    ids, mask = _batch(config, np.random.default_rng(5))
+    overlay = T.forward(params, config, ids, mask, lora=lora)
+    merged = lora_lib.merge_lora(params, lora, config)
+    folded = T.forward(merged, config, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(overlay), np.asarray(folded), atol=5e-3
+    )
+
+
+def test_resize_embeddings():
+    config = tiny_test_config("llama", vocab_size=64)
+    params = T.init_params(config, jax.random.PRNGKey(7))
+    params2, config2 = T.resize_embeddings(params, config, 100)
+    assert params2["embed"].shape == (100, config.hidden_size)
+    assert config2.vocab_size == 100
+    mean_row = np.mean(np.asarray(params["embed"], np.float32), axis=0)
+    np.testing.assert_allclose(
+        np.asarray(params2["embed"][64:], np.float32),
+        np.tile(mean_row, (36, 1)),
+        atol=1e-6,
+    )
+    # forward still works with new token ids
+    ids = jnp.asarray([[0, 70, 99]])
+    logits = T.forward(params2, config2, ids)
+    assert logits.shape == (1, 3, 100)
+
+
+def test_inputs_embeds_path(model):
+    config, params = model
+    ids, mask = _batch(config, np.random.default_rng(6))
+    embeds = jnp.take(params["embed"], ids, axis=0)
+    if config.embed_scale:
+        pass  # _inputs_to_hidden applies the gemma scale internally
+    via_ids = T.forward(params, config, ids, mask)
+    via_embeds = T.forward(params, config, None, mask, inputs_embeds=embeds)
+    np.testing.assert_allclose(
+        np.asarray(via_ids), np.asarray(via_embeds), atol=2e-4
+    )
+
+
+def test_attentions_path(model):
+    config, params = model
+    ids, mask = _batch(config, np.random.default_rng(7), b=1, s=8, n_pad=2)
+    logits, attn = T.forward(params, config, ids, mask, return_attentions=True)
+    assert attn.shape == (config.num_layers, 1, config.num_heads, 8, 8)
+    a = np.asarray(attn, np.float32)
+    # rows over valid keys sum to 1; pad keys get ~0 weight for valid queries
+    sums = a.sum(-1)
+    np.testing.assert_allclose(sums, np.ones_like(sums), atol=1e-3)
+    assert np.max(a[..., 2:, :2]) < 1e-6  # valid queries ignore pad keys
+    # causality above the diagonal for valid (non-pad) query rows; pad query
+    # rows have every key masked and produce meaningless uniform rows, like HF
+    valid = a[0, 0, 0, 2:, :]
+    for i in range(valid.shape[0]):
+        tail = valid[i, i + 3 :]  # row i is query position i+2
+        assert tail.size == 0 or np.max(tail) < 1e-6
+    # fused and eager paths agree
+    logits2 = T.forward(params, config, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits2), atol=2e-4
+    )
