@@ -1,0 +1,184 @@
+"""Headline benchmark: ECGs/sec through preprocess + quantize + BPE-encode.
+
+Compares the TPU-native fused pipeline (filter/denoise/resample as batched
+XLA ops + the parallel longest-match encoder) against the reference
+architecture's host path (per-record scipy filtfilt chain, numpy wavelet
+denoise, scipy cubic resample, np.vectorize symbol map, native trie encode —
+mirroring ecg_byte/utils/preprocess_utils.py + tokenizer_utils.py +
+rust_bpe::encode_text run sequentially, as the reference's per-item
+``__getitem__``/process pipeline does).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_synthetic_records(n, rng, fs=500, length=5000, leads=12):
+    """ECG-like signals: slow oscillation + QRS-ish spikes + noise + hum."""
+    t = np.arange(length) / fs
+    base = 0.8 * np.sin(2 * np.pi * 1.1 * t)
+    spikes = np.zeros(length)
+    spikes[:: int(0.8 * fs)] = 1.5
+    hum = 0.1 * np.sin(2 * np.pi * 60 * t)
+    x = base + spikes + hum
+    out = x[None, None, :] + 0.05 * rng.normal(size=(n, leads, length))
+    return out.astype(np.float32)
+
+
+def train_merges(rng, num_merges=3500):
+    from ecg_byte_tpu.ops.quantize import normalize_quantize, quantized_to_string
+    from ecg_byte_tpu.tokenizer import native
+
+    recs = make_synthetic_records(20, rng)
+    p1, p99 = np.percentile(recs, 1), np.percentile(recs, 99)
+    _, q = normalize_quantize(recs, p1, p99)
+    corpus = "".join(quantized_to_string(np.asarray(qi)) for qi in q).encode()
+    _, merges = native.train(corpus, num_merges)
+    return merges, float(p1), float(p99)
+
+
+# --- reference-style host path -------------------------------------------------
+
+
+def _numpy_wavelet_denoise(x, level=4):
+    """Host wavelet denoise standing in for pywt (same math as reference)."""
+    from ecg_byte_tpu.ops.wavelet import daubechies
+
+    f = daubechies(6)
+    out = np.empty_like(x)
+    for lead in range(x.shape[0]):
+        sig = x[lead]
+        coeffs = []
+        a = sig
+        lens = []
+        for _ in range(level):
+            n = len(a)
+            pad = f.dec_len - 1
+            idx = np.arange(-pad, n + pad)
+            idx = np.mod(idx, 2 * n)
+            idx = np.where(idx >= n, 2 * n - 1 - idx, idx)
+            ext = a[idx]
+            lo = np.convolve(ext, f.dec_lo[::-1], "valid")[1::2]
+            hi = np.convolve(ext, f.dec_hi[::-1], "valid")[1::2]
+            m = (n + f.dec_len - 1) // 2
+            lens.append(n)
+            coeffs.append(hi[:m])
+            a = lo[:m]
+        thr = np.median(np.abs(coeffs[-1]))
+        thr = 0 if thr == 0 else thr / 0.6745
+        den = [np.sign(c) * np.maximum(np.abs(c) - thr, 0) for c in coeffs]
+        for d, n in zip(den[::-1], lens[::-1]):
+            ua = np.zeros(2 * len(a)); ua[::2] = a
+            ud = np.zeros(2 * len(d)); ud[::2] = d
+            rec = np.convolve(ua, f.rec_lo, "full") + np.convolve(ud, f.rec_hi, "full")
+            a = rec[f.dec_len - 2 : f.dec_len - 2 + n]
+        out[lead] = a
+    return out
+
+
+def reference_host_path(recs, p1, p99, encoder):
+    """Sequential per-record pipeline, reference architecture."""
+    from scipy import interpolate
+    from scipy import signal as sps
+
+    ALPHABET = list("abcdefghijklmnopqrstuvwxyz")
+    n_tokens = 0
+    for rec in recs:
+        x = rec  # (12, 5000) leads-first; reference is time-first — same math
+        for f0 in (50.0, 60.0):
+            b, a = sps.iirnotch(f0, 30.0, 500.0)
+            x = sps.filtfilt(b, a, x, axis=-1)
+        b, a = sps.butter(4, [0.5 / 250.0, 100 / 250.0], btype="band")
+        x = sps.filtfilt(b, a, x, axis=-1)
+        b, a = sps.butter(4, 0.05 / 250.0, btype="high")
+        x = sps.filtfilt(b, a, x, axis=-1)
+        x = _numpy_wavelet_denoise(x)
+        t_orig = np.linspace(0, 10.0, 5000, endpoint=True)
+        t_tgt = np.linspace(0, 10.0, 2500, endpoint=True)
+        x = interpolate.interp1d(
+            t_orig, x, kind="cubic", axis=-1,
+            bounds_error=False, fill_value="extrapolate",
+        )(t_tgt)
+        # reference quantizer (np.vectorize symbol map, tokenizer_utils.py:14-19)
+        normalized = (x - (p1 - 0.5)) / ((p99 + 0.5) - (p1 - 0.5) + 1e-6)
+        clipped = np.clip(normalized, 0, 1)
+        scaled = np.minimum(np.floor(clipped * 26), 25).astype(np.uint8)
+        symbols = np.vectorize(lambda v: ALPHABET[v])(scaled)
+        text = "".join(symbols.flatten())
+        ids = encoder.encode(text.encode())
+        n_tokens += len(ids)
+    return n_tokens
+
+
+# --- TPU path -----------------------------------------------------------------
+
+
+def tpu_path_factory(merges, p1, p99):
+    import jax
+
+    from ecg_byte_tpu.ops import bpe_encode, dsp
+    from ecg_byte_tpu.ops.quantize import normalize_quantize
+
+    automaton = bpe_encode.build_automaton(merges)
+
+    @jax.jit
+    def pipeline(signals):
+        x = dsp.preprocess_records(signals, fs=500.0, target_fs=250.0)
+        _, q = normalize_quantize(x, p1, p99)
+        q = q.reshape(q.shape[0], -1)
+        ids, counts = bpe_encode.encode(q, automaton)
+        return ids, counts
+
+    return pipeline
+
+
+def main():
+    rng = np.random.default_rng(0)
+    from ecg_byte_tpu.tokenizer import native
+
+    merges, p1, p99 = train_merges(rng, num_merges=3500)
+    encoder = native.NativeEncoder(merges)
+
+    # --- baseline: measure a few records sequentially
+    base_recs = make_synthetic_records(8, rng)
+    t0 = time.perf_counter()
+    reference_host_path(base_recs, p1, p99, encoder)
+    t_base = (time.perf_counter() - t0) / len(base_recs)
+    baseline_rate = 1.0 / t_base
+
+    # --- ours: batched on device
+    batch = 256
+    recs = make_synthetic_records(batch, rng)
+    pipeline = tpu_path_factory(merges, p1, p99)
+    ids, counts = pipeline(recs)  # compile + warm
+    ids.block_until_ready()
+    iters = 4
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ids, counts = pipeline(recs)
+    ids.block_until_ready()
+    t_ours = (time.perf_counter() - t0) / (iters * batch)
+    our_rate = 1.0 / t_ours
+
+    print(
+        json.dumps(
+            {
+                "metric": "preprocess_tokenize_throughput",
+                "value": round(our_rate, 2),
+                "unit": "ECGs/s",
+                "vs_baseline": round(our_rate / baseline_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
