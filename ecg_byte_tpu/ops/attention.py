@@ -108,6 +108,29 @@ def _flash_attention(q, k, v, pad_mask):
         return None
 
 
+def full_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pad_mask: Optional[jax.Array] = None,
+    *,
+    return_probs: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Bidirectional (encoder) attention: like :func:`causal_attention`
+    without the causal mask.  Used by the ViT/CLIP/attention-pool encoders."""
+    n_rep = q.shape[2] // k.shape[2]
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (d**-0.5)
+    if pad_mask is not None:
+        key_ok = pad_mask[:, None, None, :].astype(jnp.bool_)
+        logits = logits + jnp.where(key_ok, 0.0, _NEG_INF)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return out, (probs if return_probs else None)
+
+
 def decode_attention(
     q: jax.Array,
     k_cache: jax.Array,

@@ -1,0 +1,228 @@
+"""Two-stage stack: ResNet1d, attention pool, MERL loss, ViT/CLIP, fusion
+splicing (adapt_sequence parity with a per-row reference implementation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecg_byte_tpu.models import encoders as enc
+from ecg_byte_tpu.models import fusion as fus
+from ecg_byte_tpu.models import resnet1d, vision
+from ecg_byte_tpu.models import tiny_test_config
+from ecg_byte_tpu.models import transformer as T
+
+
+def test_resnet_shapes_and_bn_state():
+    rng = jax.random.PRNGKey(0)
+    p, s, meta = resnet1d.init_resnet(rng, "resnet18")
+    assert meta["out_channels"] == 512
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 12, 256)), jnp.float32)
+    y, new_s = resnet1d.resnet_forward(p, s, meta, x, train=True)
+    assert y.shape == (2, 512, 256 // 16)
+    # bn running stats updated in train mode
+    assert not np.allclose(
+        np.asarray(new_s["stem_bn"]["mean"]), np.asarray(s["stem_bn"]["mean"])
+    )
+    # eval mode: state unchanged, deterministic
+    y2, same_s = resnet1d.resnet_forward(p, s, meta, x, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(same_s["stem_bn"]["mean"]), np.asarray(s["stem_bn"]["mean"])
+    )
+
+
+def test_resnet_bottleneck_channels():
+    p, s, meta = resnet1d.init_resnet(jax.random.PRNGKey(0), "resnet50")
+    assert meta["out_channels"] == 2048
+
+
+def test_attention_pool():
+    rng = jax.random.PRNGKey(1)
+    p = enc.init_attention_pool(rng, spacial_dim=8, embed_dim=32, num_heads=4)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(3, 32, 8)), jnp.float32)
+    pooled, att = enc.attention_pool(p, x)
+    assert pooled.shape == (3, 32)
+    assert att.shape == (3, 8)
+    # cls self-weight is dropped (merl.py:31): rows sum to slightly < 1
+    sums = np.asarray(att).sum(-1)
+    assert np.all(sums > 0.5) and np.all(sums < 1.0)
+
+
+def test_clip_loss_perfect_alignment():
+    x = jnp.eye(8, 16)
+    loss_aligned, acc1, _ = enc.clip_loss(x, x)
+    y = jnp.roll(x, 1, axis=0)
+    loss_shuffled, _, _ = enc.clip_loss(x, y)
+    assert float(loss_aligned) < float(loss_shuffled)
+    assert float(acc1) == 100.0
+
+
+def test_merl_pretrain_loss_trains():
+    import optax
+
+    rng = jax.random.PRNGKey(2)
+    p, s, meta = resnet1d.init_resnet(rng, "resnet18")
+    head = enc.init_merl_head(
+        jax.random.PRNGKey(3), feature_channels=512, spacial_dim=8
+    )
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(8, 12, 128)), jnp.float32)
+    text = jnp.asarray(np.random.default_rng(3).normal(size=(8, 768)), jnp.float32)
+
+    params = {"resnet": p, "head": head}
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, bn):
+        def loss_fn(pp):
+            feats, new_bn = resnet1d.resnet_forward(
+                pp["resnet"], bn, meta, x, train=True
+            )
+            loss, _ = enc.merl_pretrain_loss(pp["head"], feats, text)
+            return loss, new_bn
+        (loss, new_bn), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        up, state = opt.update(g, state)
+        return optax.apply_updates(params, up), state, new_bn, loss
+
+    bn = s
+    losses = []
+    for _ in range(8):
+        params, state, bn, loss = step(params, state, bn)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_vit_mim_loss_and_hidden_states():
+    cfg = vision.tiny_vision_config()
+    p = vision.init_vit(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(4)
+    pixels = jnp.asarray(rng.normal(size=(2, 3, 32, 32)), jnp.float32)
+    mask = jnp.asarray(rng.random((2, cfg.num_patches)) < 0.75)
+    loss = vision.vit_mim_loss(p, cfg, pixels, mask)
+    assert np.isfinite(float(loss))
+    seq, hiddens = vision.vit_encode(p, cfg, pixels, mask, collect_hidden=True)
+    assert seq.shape == (2, cfg.num_patches + 1, cfg.hidden_size)
+    assert len(hiddens) == cfg.num_layers + 1  # embeddings + each layer
+
+
+def test_clip_forward_contrastive():
+    cfg = vision.tiny_clip_config()
+    p = vision.init_clip(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(1, 300, size=(4, 16)), jnp.int32)
+    mask = jnp.ones((4, 16), jnp.int32)
+    pixels = jnp.asarray(rng.normal(size=(4, 3, 32, 32)), jnp.float32)
+    out = vision.clip_forward(p, cfg, ids, mask, pixels, return_loss=True)
+    assert out["image_embeds"].shape == (4, cfg.projection_dim)
+    assert out["text_embeds"].shape == (4, cfg.projection_dim)
+    assert np.isfinite(float(out["loss"]))
+
+
+def reference_adapt_sequence(sig_embed, text_embed, token_ids, attn_mask,
+                             labels=None, position_ids=None, sig_id=-1):
+    """Per-row Python reimplementation of model_utils.py:96-157 semantics."""
+    add_idx = 2 if labels is not None else 1
+    combined, masks, labs, poss = [], [], [], []
+    for b in range(token_ids.shape[0]):
+        idx = int(np.nonzero(token_ids[b] == sig_id)[0][0])
+        emb = np.concatenate([
+            text_embed[b, : idx + 1], sig_embed[b], text_embed[b, idx + add_idx:]
+        ])
+        m = np.concatenate([attn_mask[b, : idx + 1], [1], attn_mask[b, idx + add_idx:]])
+        combined.append(emb)
+        masks.append(m)
+        if labels is not None:
+            l = np.concatenate([labels[b, : idx + 1], [-100], labels[b, idx + add_idx:]])
+            before = position_ids[b, : idx + 1]
+            new_pos = before[-1] + 1
+            after = position_ids[b, idx + add_idx:] + 1
+            poss.append(np.concatenate([before, [new_pos], after]))
+            labs.append(l)
+    out = {"combined_embeds": np.stack(combined), "attn_mask": np.stack(masks)}
+    if labels is not None:
+        out["labels"] = np.stack(labs)
+        out["position_ids"] = np.stack(poss)
+    return out
+
+
+@pytest.mark.parametrize("with_labels", [True, False])
+def test_adapt_sequence_matches_reference(with_labels):
+    rng = np.random.default_rng(6)
+    b, s, d = 3, 10, 4
+    sig_id = 99
+    token_ids = rng.integers(0, 50, size=(b, s))
+    pos = rng.integers(2, 7, size=b)
+    for i in range(b):
+        token_ids[i, pos[i]] = sig_id
+    text_embed = rng.normal(size=(b, s, d)).astype(np.float32)
+    sig_embed = rng.normal(size=(b, 1, d)).astype(np.float32)
+    attn_mask = np.ones((b, s), np.int64)
+    labels = rng.integers(0, 50, size=(b, s)) if with_labels else None
+    position_ids = np.tile(np.arange(s), (b, 1)) if with_labels else None
+
+    want = reference_adapt_sequence(
+        sig_embed, text_embed, token_ids, attn_mask, labels, position_ids, sig_id
+    )
+    got = fus.adapt_sequence(
+        jnp.asarray(sig_embed), jnp.asarray(text_embed), jnp.asarray(token_ids),
+        jnp.asarray(attn_mask),
+        jnp.asarray(labels) if with_labels else None,
+        jnp.asarray(position_ids) if with_labels else None,
+        sig_id=sig_id,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["combined_embeds"]), want["combined_embeds"], atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(got["attn_mask"]), want["attn_mask"])
+    if with_labels:
+        np.testing.assert_array_equal(np.asarray(got["labels"]), want["labels"])
+        np.testing.assert_array_equal(
+            np.asarray(got["position_ids"]), want["position_ids"]
+        )
+
+
+def test_fusion_loss_and_generate_resnet():
+    llm_config = tiny_test_config("llama", vocab_size=128)
+    llm_params = T.init_params(llm_config, jax.random.PRNGKey(7))
+    rp, rs, meta = resnet1d.init_resnet(jax.random.PRNGKey(8), "resnet18")
+    fusion = fus.init_fusion(
+        jax.random.PRNGKey(9), "resnet_model", llm_config.hidden_size,
+        resnet_channels=512,
+    )
+    encoders = {"resnet": (rp, rs, meta)}
+    rng = np.random.default_rng(7)
+    b, s = 2, 12
+    sig_id = 120
+    ids = rng.integers(0, 100, size=(b, s))
+    ids[:, 2] = sig_id
+    batch = {
+        "tokenized_signal": jnp.asarray(ids, jnp.int32),
+        "attn_mask": jnp.ones((b, s), jnp.int32),
+        "quantized_signal_ids_input": jnp.asarray(ids, jnp.int32),
+        "position_ids": jnp.tile(jnp.arange(s), (b, 1)),
+        "norm_signal": jnp.asarray(rng.normal(size=(b, 12, 128)), jnp.float32),
+    }
+    loss = fus.fusion_lm_loss(
+        llm_params, llm_config, fusion, "resnet_model", batch, sig_id,
+        encoders=encoders,
+    )
+    assert np.isfinite(float(loss))
+    # gradient flows to fusion but not through the frozen resnet
+    g = jax.grad(
+        lambda f: fus.fusion_lm_loss(
+            llm_params, llm_config, f, "resnet_model", batch, sig_id,
+            encoders=encoders,
+        )
+    )(fusion)
+    assert float(jnp.abs(g["image_projection"]["w"]).sum()) > 0
+
+    gen_batch = {
+        "tokenized_signal2": batch["tokenized_signal"],
+        "attn_mask2": batch["attn_mask"],
+        "norm_signal": batch["norm_signal"],
+    }
+    out = fus.fusion_generate(
+        llm_params, llm_config, fusion, "resnet_model", gen_batch, sig_id,
+        encoders=encoders, max_new_tokens=4, eos_token_id=-5, pad_token_id=0,
+    )
+    assert out.shape == (b, 4)
