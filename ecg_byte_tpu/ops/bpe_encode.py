@@ -2,26 +2,33 @@
 
 The reference encodes each ECG string sequentially on the host with a byte
 trie (rust_bpe lib.rs:149-193).  Greedy longest-match tokenization looks
-inherently serial, but it decomposes into three data-parallel stages that map
-cleanly onto the VPU:
+inherently serial, but it decomposes into three data-parallel stages:
 
-1. **Longest match per position** — compile the merge trie into a dense
-   automaton over the 26-letter ECG alphabet (+1 padding symbol) and advance
-   all N positions' states simultaneously for ``max_token_len`` steps
-   (a ``lax.scan`` of vectorized gathers).  After the scan, position ``i``
-   knows the longest token starting at ``i`` and its id.
+1. **Longest match per position** -- the token dictionary is compiled into
+   per-length one-hot *filter banks*, and matching becomes 1-D convolution
+   on the MXU: for tokens of length L, ``conv(one_hot(q), W_L)`` counts
+   agreeing symbols, and a count of L is an exact dictionary hit.  Token ids
+   are recovered with two skinny matmuls (ids split into exact-in-bf16
+   high/low parts).  After this, position ``i`` knows the longest token
+   starting at ``i`` and its id.  (A gather-based automaton scan is kept as
+   an alternative backend: TPU gathers run ~100x slower than this conv
+   formulation, but it is useful on CPU and for cross-checks.)
 
-2. **Greedy chain via pointer doubling** — the tokenization visits positions
-   ``0, f(0), f(f(0)), ...`` where ``f(i) = i + match_len[i]``.  The visited
-   set is computed in ``ceil(log2 N)`` scatter/gather rounds instead of N
-   sequential steps.
+2. **Greedy chain** -- the tokenization visits ``0, f(0), f(f(0)), ...``
+   with ``f(i) = i + match_len[i]``.  Because jumps are bounded by
+   ``max_token_len``, reachability is a *banded* recurrence
+   ``visit[i] = OR_d visit[i-d] & (match_len[i-d] == d)`` computed by a
+   ``lax.scan`` carrying only the last ``max_len`` bits per record --
+   thousands of batch records advance one position per step in lockstep.
+   (Pointer doubling in ``log N`` scatter rounds is the alternative backend.)
 
-3. **Stream compaction** — a cumsum over the visited mask scatters the
-   surviving token ids into a dense, left-aligned output with a length.
+3. **Stream compaction** -- cumsum over the visited mask scatters surviving
+   token ids into a dense, left-aligned output plus a length.
 
-All stages are jittable, differentiable-free integer code, and ``vmap`` over
-a batch of equal-length symbol streams.  Output ids are byte-exact with the
-reference trie encoder (validated against csrc/ecgbpe.cpp in tests).
+All stages are jittable integer/matmul code batched over records.  Output
+ids are byte-exact with the reference trie encoder (validated against
+csrc/ecgbpe.cpp in tests), including trie-overwrite semantics for duplicate
+expanded sequences (the later merge id wins).
 """
 
 from __future__ import annotations
@@ -166,6 +173,171 @@ def _greedy_chain(match_len: jax.Array) -> jax.Array:
     return reach[:n]
 
 
+# ---------------------------------------------------------------------------
+# Conv/MXU matcher backend (the fast path on TPU)
+
+
+class ConvMatcher(NamedTuple):
+    """Per-length one-hot filter banks compiled from the merge dictionary.
+
+    Attributes:
+      banks: tuple of (length, filters (T, 27, length) bf16,
+        ids_hi (T,) f32, ids_lo (T,) f32) — ids split as id = hi * 256 + lo
+        so both parts are exact in bf16/f32 accumulations.
+      max_len: python int, maximum token length.
+    """
+
+    banks: Tuple
+    max_len: int
+
+
+def build_matcher(merges: Sequence[Tuple[Sequence[int], int]]) -> ConvMatcher:
+    """Compile merges into convolutional filter banks.
+
+    Duplicate expanded sequences keep the LAST token id, matching the trie's
+    insert-overwrite semantics (rust_bpe lib.rs:140-147).
+    """
+    by_seq = {}
+    for seq, token_id in merges:
+        symbols = tuple(int(b) - _BYTE_A for b in seq)
+        if any(s < 0 or s >= NUM_SYMBOLS for s in symbols):
+            continue  # unreachable in quantized ECG strings
+        if len(symbols) < 2:
+            continue  # single symbols are handled implicitly
+        by_seq[symbols] = int(token_id)  # later merges overwrite
+
+    by_len: dict = {}
+    for symbols, token_id in by_seq.items():
+        by_len.setdefault(len(symbols), []).append((symbols, token_id))
+
+    banks = []
+    max_len = 1
+    for length in sorted(by_len):
+        entries = by_len[length]
+        t = len(entries)
+        filt = np.zeros((t, NUM_SYMBOLS + 1, length), np.float32)
+        ids = np.zeros((t,), np.int64)
+        for row, (symbols, token_id) in enumerate(entries):
+            for j, s in enumerate(symbols):
+                filt[row, s, j] = 1.0
+            ids[row] = token_id
+        banks.append(
+            (
+                length,
+                jnp.asarray(filt, jnp.bfloat16),
+                jnp.asarray(ids // 256, jnp.float32),
+                jnp.asarray(ids % 256, jnp.float32),
+            )
+        )
+        max_len = max(max_len, length)
+    return ConvMatcher(banks=tuple(banks), max_len=max_len)
+
+
+def _longest_match_conv(q: jax.Array, matcher: ConvMatcher):
+    """Batched longest match via MXU convolutions.
+
+    q: int [B, N] symbols -> (match_tok (B, N) int32, match_len (B, N) int32).
+    """
+    b, n = q.shape
+    x = jax.nn.one_hot(q, NUM_SYMBOLS + 1, dtype=jnp.bfloat16)  # (B, N, 27)
+
+    match_tok = (q.astype(jnp.int32) + _BYTE_A)
+    match_len = jnp.ones((b, n), jnp.int32)
+    for length, filt, ids_hi, ids_lo in matcher.banks:
+        # NHC/HIO layout keeps features on lanes (TPU-preferred)
+        score = jax.lax.conv_general_dilated(
+            x,
+            jnp.transpose(filt, (2, 1, 0)),  # (length, 27, T)
+            window_strides=(1,),
+            padding=[(0, 0)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.bfloat16,
+        )  # (B, N - length + 1, T); counts exact in bf16 (<= length <= 256)
+        hit = (score == jnp.asarray(length, score.dtype)).astype(jnp.bfloat16)
+        # at most one token matches a given window (sequences are unique);
+        # ids split hi/lo so each part stays exact in bf16 (< 256)
+        # combine hi/lo in f32: each bf16 matmul result is exact (< 256) but
+        # hi*256 + lo needs 12 mantissa bits
+        tok = (
+            (hit @ ids_hi.astype(jnp.bfloat16)).astype(jnp.float32) * 256.0
+            + (hit @ ids_lo.astype(jnp.bfloat16)).astype(jnp.float32)
+        ).astype(jnp.int32)
+        found = jnp.max(hit, axis=-1) > 0
+        pad_w = n - hit.shape[1]
+        found = jnp.pad(found, ((0, 0), (0, pad_w)))
+        tok = jnp.pad(tok, ((0, 0), (0, pad_w)))
+        match_tok = jnp.where(found, tok, match_tok)  # lengths ascend: longest wins
+        match_len = jnp.where(found, length, match_len)
+    return match_tok, match_len
+
+
+def _greedy_chain_scan(match_len: jax.Array, max_len: int) -> jax.Array:
+    """Banded greedy-chain recurrence over the batch.
+
+    match_len: (B, N) with values in [1, max_len].  visited[i] depends only
+    on the previous ``max_len`` positions, so a scan over N carries a
+    (B, max_len) window: visited[i] = OR_d window[d] & (len[i-d] == d).
+    """
+    b, n = match_len.shape
+    w = max(int(max_len), 1)
+    # len_window[d-1] holds match_len[i-d]; offsets constant per slot
+    offsets = jnp.arange(1, w + 1, dtype=jnp.int32)  # (w,)
+
+    def step(carry, ml_i):
+        visit_win, len_win = carry  # (B, w) each; slot d-1 = position i-d
+        visited_i = jnp.any(visit_win & (len_win == offsets[None, :]), axis=1)
+        visit_win = jnp.concatenate([visited_i[:, None], visit_win[:, : w - 1]], 1)
+        len_win = jnp.concatenate([ml_i[:, None], len_win[:, : w - 1]], 1)
+        return (visit_win, len_win), visited_i
+
+    # position 0 is always visited; seed the window as if position -1 jumped
+    # to 0 — simpler: run the scan from position 1 with window holding pos 0.
+    visit0 = jnp.ones((b,), jnp.bool_)
+    visit_win = jnp.zeros((b, w), jnp.bool_).at[:, 0].set(True)
+    len_win = jnp.zeros((b, w), jnp.int32).at[:, 0].set(match_len[:, 0])
+    (_, _), visited_rest = jax.lax.scan(
+        step, (visit_win, len_win), jnp.swapaxes(match_len[:, 1:], 0, 1),
+        unroll=16,
+    )
+    visited = jnp.concatenate(
+        [visit0[:, None], jnp.swapaxes(visited_rest, 0, 1)], axis=1
+    )
+    return visited
+
+
+def _compact(match_tok, visited):
+    """Scatter visited tokens left-aligned; returns (ids, counts)."""
+    b, n = match_tok.shape
+
+    def one(tok, vis):
+        out_idx = jnp.where(vis, jnp.cumsum(vis) - 1, n)
+        ids = (
+            jnp.full((n + 1,), PAD_TOKEN, jnp.int32)
+            .at[out_idx]
+            .set(jnp.where(vis, tok, PAD_TOKEN))[:n]
+        )
+        return ids, jnp.sum(vis.astype(jnp.int32))
+
+    return jax.vmap(one)(match_tok, visited)
+
+
+@functools.partial(jax.jit, static_argnames=("matcher_max_len", "banks_meta"))
+def _encode_conv_impl(q, bank_arrays, matcher_max_len, banks_meta):
+    banks = tuple(
+        (length,) + arrays for length, arrays in zip(banks_meta, bank_arrays)
+    )
+    matcher = ConvMatcher(banks=banks, max_len=matcher_max_len)
+    squeeze = q.ndim == 1
+    if squeeze:
+        q = q[None]
+    match_tok, match_len = _longest_match_conv(q, matcher)
+    visited = _greedy_chain_scan(match_len, matcher.max_len)
+    ids, counts = _compact(match_tok, visited)
+    if squeeze:
+        return ids[0], counts[0]
+    return ids, counts
+
+
 @functools.partial(jax.jit, static_argnames=("automaton_max_len",))
 def _encode_impl(q, trans, token, automaton_max_len):
     automaton = Automaton(trans=trans, token=token, max_len=automaton_max_len)
@@ -173,42 +345,37 @@ def _encode_impl(q, trans, token, automaton_max_len):
     def one(qi):
         match_tok, match_len = _longest_match(qi, automaton)
         visited = _greedy_chain(match_len)
-        n = qi.shape[0]
-        #
-
-        # Compact: scatter visited tokens to their output slot; everything
-        # else lands in the scratch slot n (dropped).
-        out_idx = jnp.where(visited, jnp.cumsum(visited) - 1, n)
-        ids = (
-            jnp.full((n + 1,), PAD_TOKEN, jnp.int32)
-            .at[out_idx]
-            .set(jnp.where(visited, match_tok, PAD_TOKEN))[:n]
-        )
-        count = jnp.sum(visited.astype(jnp.int32))
-        return ids, count
+        return match_tok, visited
 
     if q.ndim == 1:
-        return one(q)
-    return jax.vmap(one)(q)
+        match_tok, visited = one(q)
+        ids, counts = _compact(match_tok[None], visited[None])
+        return ids[0], counts[0]
+    match_tok, visited = jax.vmap(one)(q)
+    return _compact(match_tok, visited)
 
 
-def encode(q, automaton: Automaton):
+def encode(q, matcher):
     """Encode symbol stream(s) into BPE token ids on device.
 
     Args:
       q: uint8 [N] or [B, N] quantized symbols (0..25).
-      automaton: from :func:`build_automaton`.
+      matcher: a :class:`ConvMatcher` (fast MXU path) or :class:`Automaton`
+        (gather-based alternative backend).
 
     Returns:
       ``(ids, counts)`` — ids int32 like ``q`` padded with ``PAD_TOKEN``;
       ``counts`` the number of valid tokens per stream.
     """
-    return _encode_impl(
-        jnp.asarray(q), automaton.trans, automaton.token, automaton.max_len
-    )
+    q = jnp.asarray(q)
+    if isinstance(matcher, ConvMatcher):
+        banks_meta = tuple(b[0] for b in matcher.banks)
+        bank_arrays = tuple(b[1:] for b in matcher.banks)
+        return _encode_conv_impl(q, bank_arrays, matcher.max_len, banks_meta)
+    return _encode_impl(q, matcher.trans, matcher.token, matcher.max_len)
 
 
-def quantize_and_encode(signal, p1, p99, automaton: Automaton):
+def quantize_and_encode(signal, p1, p99, matcher):
     """Fused preprocess headline op: float ECG -> BPE token ids, on device.
 
     ``signal``: float [B, 12, L] (or [12, L]).  Flattens leads row-major into
@@ -220,4 +387,4 @@ def quantize_and_encode(signal, p1, p99, automaton: Automaton):
     batched = signal.ndim == 3
     _, q = normalize_quantize(signal, p1, p99)
     q = q.reshape((q.shape[0], -1) if batched else (-1,))
-    return encode(q, automaton)
+    return encode(q, matcher)

@@ -82,3 +82,36 @@ def test_automaton_structure(trained):
     assert np.all(root_children > 0)
     toks = np.asarray(automaton.token)[root_children]
     np.testing.assert_array_equal(toks, np.arange(26) + ord("a"))
+
+
+def test_conv_matcher_matches_native(trained):
+    merges, enc = trained
+    matcher = bpe_encode.build_matcher(merges)
+    rng = np.random.default_rng(11)
+    for n in [1, 7, 500, 6000]:
+        q = _ecg_like_symbols(rng, n)
+        ids, count = bpe_encode.encode(q, matcher)
+        got = np.asarray(ids)[: int(count)]
+        want = enc.encode(bytes(q + ord("a")))
+        np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
+        assert np.all(np.asarray(ids)[int(count):] == bpe_encode.PAD_TOKEN)
+
+
+def test_conv_matcher_batched_and_uniform(trained):
+    merges, enc = trained
+    matcher = bpe_encode.build_matcher(merges)
+    rng = np.random.default_rng(12)
+    q = np.stack([_ecg_like_symbols(rng, 1200) for _ in range(5)])
+    q[0] = 0  # "aaaa..." degenerate run
+    ids, counts = bpe_encode.encode(q, matcher)
+    for b in range(5):
+        want = enc.encode(bytes(q[b] + ord("a")))
+        np.testing.assert_array_equal(np.asarray(ids[b])[: int(counts[b])], want)
+
+
+def test_conv_matcher_duplicate_sequences_last_wins():
+    # two merges expanding to the same base sequence: trie keeps the later id
+    merges = [([97, 98], 256), ([97, 98, 99], 257), ([97, 98, 99], 258)]
+    matcher = bpe_encode.build_matcher(merges)
+    ids, count = bpe_encode.encode(np.array([0, 1, 2], np.uint8), matcher)
+    assert np.asarray(ids)[: int(count)].tolist() == [258]
