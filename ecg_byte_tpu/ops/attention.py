@@ -58,7 +58,13 @@ def causal_attention(
     """
     n_rep = q.shape[2] // k.shape[2]
     if use_flash is None:
-        use_flash = (not return_probs) and _flash_available()
+        # Measured on v5e: XLA's fused attention wins below ~2k tokens
+        # (flash 10.9ms vs XLA 6.2ms at S=1024, B8/H32/D64); the Pallas
+        # kernel pays off where the O(S^2) probability tensor becomes the
+        # bottleneck.  Auto-enable only for long sequences.
+        use_flash = (
+            (not return_probs) and q.shape[1] >= 4096 and _flash_available()
+        )
     if use_flash and not return_probs:
         out = _flash_attention(q, k, v, pad_mask)
         if out is not None:
