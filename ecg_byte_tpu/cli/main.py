@@ -76,6 +76,10 @@ def get_args():
     parser.add_argument('--fsdp', type=int, default=1, help='fsdp axis size')
     parser.add_argument('--hf_weights', type=str, default=None,
                         help='local HF model dir (config.json + safetensors)')
+    parser.add_argument('--resume', type=str, default=None,
+                        help='resume training from a checkpoint role in the '
+                             'run dir (best_model | crash_model); restores '
+                             'params, optimizer state, and epoch')
     parser.add_argument('--data_root', type=str, default='./data')
     return parser.parse_args()
 
@@ -232,9 +236,16 @@ def main():
         ensure_directory_exists(directory_path)
         rng = jax.random.PRNGKey(args.seed)
 
+        start_epoch = 0
+        if args.resume:
+            state, last_epoch = load_checkpoint(directory_path, args.resume, state)
+            start_epoch = last_epoch + 1
+            print(f"Resumed {args.resume} at epoch {start_epoch} "
+                  f"(step {int(state.step)})")
+
         train_loss, val_loss = [], []
         try:
-            for epoch in range(args.epochs):
+            for epoch in range(start_epoch, args.epochs):
                 state, train_dic = trainer(
                     state, step_fn, training_loader, rng, epoch=epoch,
                     directory_path=directory_path, dev=args.dev, toy=args.toy,
