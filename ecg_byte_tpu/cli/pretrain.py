@@ -11,7 +11,6 @@ hash-embedding stand-in offline).
 from __future__ import annotations
 
 import argparse
-import os
 
 import jax
 import jax.numpy as jnp

@@ -7,9 +7,8 @@ dicts with zero-fill on failure (:27-39), and the same averaging structure
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
-import numpy as np
 from tqdm import tqdm
 
 from ecg_byte_tpu.utils.metrics import evaluate_strings

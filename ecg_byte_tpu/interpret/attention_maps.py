@@ -18,8 +18,6 @@ from typing import Dict, List
 import numpy as np
 from tqdm import tqdm
 
-from ecg_byte_tpu.models import transformer as T
-from ecg_byte_tpu.ops.quantize import string_to_quantized
 from ecg_byte_tpu.tokenizer import decode_text
 from ecg_byte_tpu.utils.viz_utils import (
     plot_attention_on_signal,

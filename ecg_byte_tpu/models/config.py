@@ -9,7 +9,7 @@ from HF safetensors checkpoints (models/hf_loader.py) when available.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

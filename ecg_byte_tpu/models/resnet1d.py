@@ -13,7 +13,7 @@ the MXU.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

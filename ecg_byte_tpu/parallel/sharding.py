@@ -14,7 +14,7 @@ key points in the train step (batch over ("dp","fsdp"), heads/I over "tp").
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

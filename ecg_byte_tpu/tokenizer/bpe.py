@@ -18,8 +18,6 @@ from __future__ import annotations
 import pickle
 from typing import Dict, List, Sequence, Tuple
 
-import numpy as np
-
 from ecg_byte_tpu.tokenizer import native
 
 Merges = List[Tuple[List[int], int]]

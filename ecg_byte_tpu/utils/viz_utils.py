@@ -8,7 +8,7 @@ bars, token distribution plots, and colored BPE segment maps.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import matplotlib
 
