@@ -100,3 +100,17 @@ def test_main_inference_cli(workdir):
     )
     assert "BLEU" in stats and "raw_values" in stats["BLEU"]
     assert len(stats["BLEU"]["raw_values"]) == 5
+
+
+def test_main_train_gpt2_family(workdir):
+    args = [a for a in MAIN_ARGS]
+    args[args.index("tiny-llama")] = "tiny-gpt2"
+    out = _run(args + ["--seed", "1"], cwd=workdir)
+    assert "Training Finished" in out
+
+
+def test_main_train_gemma_family(workdir):
+    args = [a for a in MAIN_ARGS]
+    args[args.index("tiny-llama")] = "tiny-gemma"
+    out = _run(args + ["--seed", "2"], cwd=workdir)
+    assert "Training Finished" in out
