@@ -200,25 +200,26 @@ class HashTextEncoder:
 
 
 def load_frozen_text_encoder(model_name: Optional[str] = None) -> Callable:
-    """HF encoder (pooler output) when locally available, else hash encoder."""
+    """Frozen text encoder: functional JAX BERT from a local checkpoint
+    (e.g. MedCPT-Query-Encoder) when available, else the hash encoder.
+
+    The reference computes the text embedding under no_grad (merl.py:197),
+    so a frozen encoder reproduces its actual training behavior."""
     if model_name:
         try:
-            import torch
-            from transformers import AutoModel, AutoTokenizer
+            from ecg_byte_tpu.models.bert import JaxBertTextEncoder, load_hf_bert
 
-            tok = AutoTokenizer.from_pretrained(model_name, local_files_only=True)
-            mdl = AutoModel.from_pretrained(model_name, local_files_only=True).eval()
+            params, config = load_hf_bert(model_name)
+            tokenizer = None
+            try:
+                from transformers import AutoTokenizer
 
-            def encode(input_ids, attention_mask):
-                with torch.no_grad():
-                    out = mdl(
-                        input_ids=torch.as_tensor(np.asarray(input_ids)),
-                        attention_mask=torch.as_tensor(np.asarray(attention_mask)),
-                    )
-                return out.pooler_output.numpy()
-
-            encode.tokenizer = tok
-            return encode
-        except Exception:
-            pass
+                tokenizer = AutoTokenizer.from_pretrained(
+                    model_name, local_files_only=True
+                )
+            except Exception:
+                pass
+            return JaxBertTextEncoder(params, config, tokenizer)
+        except Exception as e:
+            print(f"local BERT unavailable ({e}); using hash text encoder")
     return HashTextEncoder()

@@ -226,3 +226,59 @@ def test_fusion_loss_and_generate_resnet():
         encoders=encoders, max_new_tokens=4, eos_token_id=-5, pad_token_id=0,
     )
     assert out.shape == (b, 4)
+
+
+def test_bert_encoder_forward_and_loader(tmp_path):
+    """Functional BERT: forward shapes, pooler, HF checkpoint round-trip."""
+    import json
+    from safetensors.numpy import save_file
+    from ecg_byte_tpu.models import bert as B
+
+    cfg = B.tiny_bert_config()
+    params = B.init_bert(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 10)), jnp.int32)
+    mask = jnp.ones((2, 10), jnp.int32)
+    hidden, pooled = B.bert_forward(params, cfg, ids, mask)
+    assert hidden.shape == (2, 10, 32) and pooled.shape == (2, 32)
+    assert np.all(np.abs(np.asarray(pooled)) <= 1.0)  # tanh pooler
+
+    # craft an HF-layout checkpoint and load it back
+    rng = np.random.default_rng(1)
+    hf_cfg = {"vocab_size": 128, "hidden_size": 32, "num_hidden_layers": 2,
+              "num_attention_heads": 4, "intermediate_size": 64,
+              "max_position_embeddings": 64, "type_vocab_size": 2,
+              "layer_norm_eps": 1e-12}
+    json.dump(hf_cfg, open(tmp_path / "config.json", "w"))
+    t = {
+        "embeddings.word_embeddings.weight": rng.normal(size=(128, 32)),
+        "embeddings.position_embeddings.weight": rng.normal(size=(64, 32)),
+        "embeddings.token_type_embeddings.weight": rng.normal(size=(2, 32)),
+        "embeddings.LayerNorm.weight": np.ones(32),
+        "embeddings.LayerNorm.bias": np.zeros(32),
+        "pooler.dense.weight": rng.normal(size=(32, 32)),
+        "pooler.dense.bias": np.zeros(32),
+    }
+    for i in range(2):
+        p = f"encoder.layer.{i}."
+        for nm in ("query", "key", "value"):
+            t[p + f"attention.self.{nm}.weight"] = rng.normal(size=(32, 32))
+            t[p + f"attention.self.{nm}.bias"] = np.zeros(32)
+        t[p + "attention.output.dense.weight"] = rng.normal(size=(32, 32))
+        t[p + "attention.output.dense.bias"] = np.zeros(32)
+        t[p + "attention.output.LayerNorm.weight"] = np.ones(32)
+        t[p + "attention.output.LayerNorm.bias"] = np.zeros(32)
+        t[p + "intermediate.dense.weight"] = rng.normal(size=(64, 32))
+        t[p + "intermediate.dense.bias"] = np.zeros(64)
+        t[p + "output.dense.weight"] = rng.normal(size=(32, 64))
+        t[p + "output.dense.bias"] = np.zeros(32)
+        t[p + "output.LayerNorm.weight"] = np.ones(32)
+        t[p + "output.LayerNorm.bias"] = np.zeros(32)
+    t = {k: (np.asarray(v) * 0.05).astype(np.float32) for k, v in t.items()}
+    save_file(t, str(tmp_path / "model.safetensors"))
+    params2, cfg2 = B.load_hf_bert(str(tmp_path))
+    enc = B.JaxBertTextEncoder(params2, cfg2)
+    emb = enc(np.asarray(ids), np.asarray(mask))
+    assert emb.shape == (2, 32)
+    assert np.all(np.isfinite(emb))
+    # deterministic (frozen)
+    np.testing.assert_array_equal(emb, enc(np.asarray(ids), np.asarray(mask)))
