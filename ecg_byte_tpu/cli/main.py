@@ -76,6 +76,9 @@ def get_args():
     parser.add_argument('--fsdp', type=int, default=1, help='fsdp axis size')
     parser.add_argument('--hf_weights', type=str, default=None,
                         help='local HF model dir (config.json + safetensors)')
+    parser.add_argument('--profile', type=str, default=None,
+                        help='capture a jax.profiler trace of the first '
+                             'training steps into this directory')
     parser.add_argument('--resume', type=str, default=None,
                         help='resume training from a checkpoint role in the '
                              'run dir (best_model | crash_model); restores '
@@ -108,6 +111,9 @@ def _log_fn(args):
 
 def main():
     args = get_args()
+    from ecg_byte_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()  # multi-host slices; no-op on a single host
     if args.dev:
         args.epochs = 2
     set_seed(args.seed)
@@ -243,6 +249,8 @@ def main():
             print(f"Resumed {args.resume} at epoch {start_epoch} "
                   f"(step {int(state.step)})")
 
+        if args.profile:
+            jax.profiler.start_trace(args.profile)
         train_loss, val_loss = [], []
         try:
             for epoch in range(start_epoch, args.epochs):
@@ -274,6 +282,9 @@ def main():
             save_checkpoint(directory_path, "crash_model", state, epoch=len(train_loss))
             raise
         finally:
+            if args.profile:
+                jax.profiler.stop_trace()
+                print(f"Profiler trace written to {args.profile}")
             save_checkpoint(directory_path, "crash_model", state, epoch=len(train_loss))
             plot_train_val_loss(train_loss, val_loss, directory_path)
             print("Training Finished")

@@ -202,3 +202,23 @@ def test_greedy_generate_end_to_end(toy_data):
     assert out.shape == (1, 16)
     text = tok.decode([t for t in np.asarray(out[0]) if t != ds.pad_id])
     assert len(text) > 0
+
+
+def test_cached_tokens_match_online(toy_data):
+    """cache_tokens=True pre-encodes on device; items must be identical."""
+    root, percentiles, bpe, tok, _ = toy_data
+    from ecg_byte_tpu.utils.file_utils import align_signal_text_files
+
+    sigs, texts = align_signal_text_files(
+        str(root / "ecg" / "train"), str(root / "text" / "train")
+    )
+    cfg = DataConfig(dataset="ptb_500", pad_to_max=400, percentiles=percentiles)
+    online = ECGTokenDataset(sigs, texts, bpe.vocab, bpe.merges, tokenizer=tok, args=cfg)
+    cached = ECGTokenDataset(sigs, texts, bpe.vocab, bpe.merges, tokenizer=tok,
+                             args=cfg, cache_tokens=True)
+    for i in range(len(online)):
+        a, b = online[i], cached[i]
+        np.testing.assert_array_equal(a["tokenized_signal"], b["tokenized_signal"])
+        np.testing.assert_array_equal(
+            a["quantized_signal_ids_input"], b["quantized_signal_ids_input"]
+        )

@@ -118,3 +118,36 @@ def test_base_params_frozen_under_peft():
     state, _ = step_fn(state, batch, jax.random.PRNGKey(4))
     for a, b in zip(jax.tree.leaves(base_before), jax.tree.leaves(state.base)):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_trainer_survives_bad_batches():
+    """Reference per-step exception swallowing (runners/train.py:59-61)."""
+    from ecg_byte_tpu.train.runner import trainer
+
+    config = tiny_test_config("llama", vocab_size=64)
+    opt = make_optimizer(config.hidden_size, warmup_steps=10)
+    state = create_train_state(config, opt, jax.random.PRNGKey(0), peft=True)
+    step_fn = make_train_step(config, opt)
+    good = _toy_batch(config, np.random.default_rng(0), b=2, s=8)
+    raw_good = {
+        "tokenized_signal": good["input_ids"],
+        "attn_mask": good["attn_mask"],
+        "quantized_signal_ids_input": good["labels"],
+        "position_ids": jnp.tile(jnp.arange(8), (2, 1)),
+    }
+
+    class Loader:
+        def set_epoch(self, e):
+            pass
+
+        def __iter__(self):
+            yield raw_good
+            yield None                       # invalid batch -> skipped
+            yield {"tokenized_signal": "garbage"}  # raises -> swallowed
+            yield raw_good
+
+    state, out = trainer(
+        state, step_fn, Loader(), jax.random.PRNGKey(1), epoch=0, toy=True
+    )
+    assert np.isfinite(out["average_loss"])
+    assert int(state.step) == 2  # only the two good batches stepped
