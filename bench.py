@@ -21,6 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+
 def make_synthetic_records(n, rng, fs=500, length=5000, leads=12):
     """ECG-like signals: slow oscillation + QRS-ish spikes + noise + hum."""
     t = np.arange(length) / fs
@@ -130,12 +131,17 @@ def tpu_path_factory(merges, p1, p99):
     matcher = bpe_encode.build_matcher(merges)
 
     @jax.jit
-    def pipeline(signals):
+    def pipeline(adc):
+        # ingest raw int16 ADC units like a WFDB record; physical-unit
+        # conversion ((adc - baseline)/gain) happens on device
+        signals = adc.astype(jnp.float32) / 200.0
         x = dsp.preprocess_records(signals, fs=500.0, target_fs=250.0)
         _, q = normalize_quantize(x, p1, p99)
         q = q.reshape(q.shape[0], -1)
         ids, counts = bpe_encode.encode(q, matcher)
         return ids, counts
+
+    import jax.numpy as jnp
 
     return pipeline
 
@@ -147,30 +153,40 @@ def main():
     merges, p1, p99 = train_merges(rng, num_merges=3500)
     encoder = native.NativeEncoder(merges)
 
-    # --- baseline: measure a few records sequentially
+    # --- baseline: measure a few records sequentially (best of 2 rounds)
     base_recs = make_synthetic_records(8, rng)
-    t0 = time.perf_counter()
-    reference_host_path(base_recs, p1, p99, encoder)
-    t_base = (time.perf_counter() - t0) / len(base_recs)
-    baseline_rate = 1.0 / t_base
+    base_rates = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        reference_host_path(base_recs, p1, p99, encoder)
+        base_rates.append(len(base_recs) / (time.perf_counter() - t0))
+    baseline_rate = max(base_rates)
 
-    # --- ours: batched on device
+    # --- ours: batched on device, raw int16 ADC ingest (WFDB source units),
+    # input transfers double-buffered against compute
+    import jax
+
     batch = 256
     recs = make_synthetic_records(batch, rng)
+    adc = np.clip(recs * 200.0, -32768, 32767).astype(np.int16)
     pipeline = tpu_path_factory(merges, p1, p99)
-    ids, counts = pipeline(recs)  # compile + warm
+    ids, counts = pipeline(adc)  # compile + warm
     np.asarray(counts)  # hard sync (tunnel-safe)
-    iters = 8
-    t0 = time.perf_counter()
-    prev = None
-    for _ in range(iters):
-        ids, counts = pipeline(recs)
-        if prev is not None:
-            np.asarray(prev)  # steady-state pipelining: sync with one batch lag
-        prev = counts
-    np.asarray(prev)
-    t_ours = (time.perf_counter() - t0) / (iters * batch)
-    our_rate = 1.0 / t_ours
+    rates = []
+    for _round in range(3):
+        iters = 6
+        t0 = time.perf_counter()
+        prev = None
+        staged = jax.device_put(adc)
+        for _ in range(iters):
+            cur, staged = staged, jax.device_put(adc)  # overlap next transfer
+            ids, counts = pipeline(cur)
+            if prev is not None:
+                np.asarray(prev)  # steady-state: sync with one batch lag
+            prev = counts
+        np.asarray(prev)
+        rates.append(iters * batch / (time.perf_counter() - t0))
+    our_rate = sorted(rates)[len(rates) // 2]  # median round
 
     print(
         json.dumps(

@@ -191,8 +191,18 @@ class ConvMatcher(NamedTuple):
     max_len: int
 
 
-def build_matcher(merges: Sequence[Tuple[Sequence[int], int]]) -> ConvMatcher:
-    """Compile merges into convolutional filter banks.
+def build_matcher(
+    merges: Sequence[Tuple[Sequence[int], int]],
+    group_widths: Sequence[int] = (4, 8, 16, 32, 64, 128),
+) -> ConvMatcher:
+    """Compile merges into grouped convolutional filter banks.
+
+    Tokens are grouped by length into shared-width filter banks (each token
+    zero-padded to the group width W): one conv per group with contraction
+    size 27*W keeps the MXU's K dimension full instead of the K=27 of
+    per-length convs.  Zero filter rows contribute nothing, and windows
+    running past the end see the all-zero PAD one-hot, so a short token
+    still matches exactly when (and only when) its own symbols agree.
 
     Duplicate expanded sequences keep the LAST token id, matching the trie's
     insert-overwrite semantics (rust_bpe lib.rs:140-147).
@@ -206,30 +216,39 @@ def build_matcher(merges: Sequence[Tuple[Sequence[int], int]]) -> ConvMatcher:
             continue  # single symbols are handled implicitly
         by_seq[symbols] = int(token_id)  # later merges overwrite
 
-    by_len: dict = {}
+    widths = sorted(group_widths)
+    longest = max((len(s) for s in by_seq), default=1)
+    while widths and widths[-1] < longest:
+        widths.append(widths[-1] * 2)
+
+    groups: dict = {}
+    max_len = 1
     for symbols, token_id in by_seq.items():
-        by_len.setdefault(len(symbols), []).append((symbols, token_id))
+        width = next(w for w in widths if len(symbols) <= w)
+        groups.setdefault(width, []).append((symbols, token_id))
+        max_len = max(max_len, len(symbols))
 
     banks = []
-    max_len = 1
-    for length in sorted(by_len):
-        entries = by_len[length]
+    for width in sorted(groups):
+        entries = sorted(groups[width], key=lambda e: len(e[0]))
         t = len(entries)
-        filt = np.zeros((t, NUM_SYMBOLS + 1, length), np.float32)
+        filt = np.zeros((t, NUM_SYMBOLS + 1, width), np.float32)
         ids = np.zeros((t,), np.int64)
+        lens = np.zeros((t,), np.float32)
         for row, (symbols, token_id) in enumerate(entries):
             for j, s in enumerate(symbols):
                 filt[row, s, j] = 1.0
             ids[row] = token_id
+            lens[row] = len(symbols)
         banks.append(
             (
-                length,
+                width,
                 jnp.asarray(filt, jnp.bfloat16),
                 jnp.asarray(ids // 256, jnp.float32),
                 jnp.asarray(ids % 256, jnp.float32),
+                jnp.asarray(lens, jnp.bfloat16),
             )
         )
-        max_len = max(max_len, length)
     return ConvMatcher(banks=tuple(banks), max_len=max_len)
 
 
@@ -240,34 +259,62 @@ def _longest_match_conv(q: jax.Array, matcher: ConvMatcher):
     """
     b, n = q.shape
     x = jax.nn.one_hot(q, NUM_SYMBOLS + 1, dtype=jnp.bfloat16)  # (B, N, 27)
+    max_width = max((bank[0] for bank in matcher.banks), default=1)
+    # Zero-pad max_width-1 trailing positions once: windows running past the
+    # end contribute 0 to any filter row, so a token only matches when all of
+    # its own symbols agree inside the stream.
+    xp = jnp.pad(x, ((0, 0), (0, max_width - 1), (0, 0)))
 
-    match_tok = (q.astype(jnp.int32) + _BYTE_A)
-    match_len = jnp.ones((b, n), jnp.int32)
-    for length, filt, ids_hi, ids_lo in matcher.banks:
-        # NHC/HIO layout keeps features on lanes (TPU-preferred)
-        score = jax.lax.conv_general_dilated(
-            x,
-            jnp.transpose(filt, (2, 1, 0)),  # (length, 27, T)
-            window_strides=(1,),
-            padding=[(0, 0)],
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=jnp.bfloat16,
-        )  # (B, N - length + 1, T); counts exact in bf16 (<= length <= 256)
-        hit = (score == jnp.asarray(length, score.dtype)).astype(jnp.bfloat16)
-        # at most one token matches a given window (sequences are unique);
-        # ids split hi/lo so each part stays exact in bf16 (< 256)
-        # combine hi/lo in f32: each bf16 matmul result is exact (< 256) but
-        # hi*256 + lo needs 12 mantissa bits
-        tok = (
-            (hit @ ids_hi.astype(jnp.bfloat16)).astype(jnp.float32) * 256.0
-            + (hit @ ids_lo.astype(jnp.bfloat16)).astype(jnp.float32)
-        ).astype(jnp.int32)
-        found = jnp.max(hit, axis=-1) > 0
-        pad_w = n - hit.shape[1]
-        found = jnp.pad(found, ((0, 0), (0, pad_w)))
-        tok = jnp.pad(tok, ((0, 0), (0, pad_w)))
-        match_tok = jnp.where(found, tok, match_tok)  # lengths ascend: longest wins
-        match_len = jnp.where(found, length, match_len)
+    # Tile the position axis and slice the token axis so the transients
+    # (windows im2col + score) stay within a fixed memory budget regardless
+    # of record length and vocab size.  "Longer match wins" merging makes the
+    # result independent of tile/slice/bank order.
+    tile_n = max(512, min(n, _MATCH_BYTES_BUDGET // max(b * 2 * 2048, 1)))
+    tok_parts = []
+    len_parts = []
+    for p0 in range(0, n, tile_n):
+        pn = min(tile_n, n - p0)
+        tok_run = q[:, p0 : p0 + pn].astype(jnp.int32) + _BYTE_A
+        len_run = jnp.ones((b, pn), jnp.int32)
+        for width, filt, ids_hi, ids_lo, len_t in matcher.banks:
+            # im2col over this tile only: (B, pn, W*27).  A matmul with a
+            # (W*27)-sized contraction keeps the MXU's K dimension full and
+            # sidesteps the pathological wide-filter conv lowering.
+            windows = jnp.concatenate(
+                [xp[:, p0 + j : p0 + j + pn] for j in range(width)], axis=-1
+            )
+            filt2d = jnp.transpose(filt, (2, 1, 0)).reshape(
+                width * (NUM_SYMBOLS + 1), -1
+            )  # (W*27, T)
+            t_total = filt2d.shape[1]
+            t_slice = max(256, _MATCH_BYTES_BUDGET // max(b * pn * 2, 1))
+            # combined (length, id) weight: len * 2^13 + id stays exactly
+            # representable in f32 (< 2^24 for len <= 256, id < 8192), so ONE
+            # fused compare+select+max pass over the score recovers both the
+            # longest length and its token id
+            w_t = (len_t.astype(jnp.float32) * 8192.0
+                   + (ids_hi * 256.0 + ids_lo))
+            for t0 in range(0, t_total, t_slice):
+                f_sl = filt2d[:, t0 : t0 + t_slice]
+                len_sl = len_t[t0 : t0 + t_slice]
+                w_sl = w_t[t0 : t0 + t_slice]
+                score = jax.lax.dot_general(
+                    windows, f_sl, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.bfloat16,
+                )  # (B, pn, t); match counts exact in bf16 (<= width <= 256)
+                hit = score == len_sl[None, None, :]
+                val = jnp.max(
+                    jnp.where(hit, w_sl[None, None, :], 0.0), axis=-1
+                )  # (B, pn) f32: longest match's (len, id), 0 if none
+                best_len = jnp.floor_divide(val, 8192.0).astype(jnp.int32)
+                tok = jnp.mod(val, 8192.0).astype(jnp.int32)
+                better = best_len > len_run
+                tok_run = jnp.where(better, tok, tok_run)
+                len_run = jnp.where(better, best_len, len_run)
+        tok_parts.append(tok_run)
+        len_parts.append(len_run)
+    match_tok = jnp.concatenate(tok_parts, axis=1)
+    match_len = jnp.concatenate(len_parts, axis=1)
     return match_tok, match_len
 
 
@@ -297,7 +344,7 @@ def _greedy_chain_scan(match_len: jax.Array, max_len: int) -> jax.Array:
     len_win = jnp.zeros((b, w), jnp.int32).at[:, 0].set(match_len[:, 0])
     (_, _), visited_rest = jax.lax.scan(
         step, (visit_win, len_win), jnp.swapaxes(match_len[:, 1:], 0, 1),
-        unroll=16,
+        unroll=64,
     )
     visited = jnp.concatenate(
         [visit0[:, None], jnp.swapaxes(visited_rest, 0, 1)], axis=1
@@ -319,6 +366,9 @@ def _compact(match_tok, visited):
         return ids, jnp.sum(vis.astype(jnp.int32))
 
     return jax.vmap(one)(match_tok, visited)
+
+
+_MATCH_BYTES_BUDGET = 2 << 30  # cap the transient (B_chunk, N, T) hit/score
 
 
 @functools.partial(jax.jit, static_argnames=("matcher_max_len", "banks_meta"))

@@ -151,3 +151,31 @@ def test_trainer_survives_bad_batches():
     )
     assert np.isfinite(out["average_loss"])
     assert int(state.step) == 2  # only the two good batches stepped
+
+
+def test_tp_sharded_greedy_decode():
+    """Serving path: greedy decode with tensor-parallel-sharded params must
+    reproduce single-device decoding exactly."""
+    from ecg_byte_tpu.infer import greedy_generate
+    from ecg_byte_tpu.models import transformer as T
+    from ecg_byte_tpu.parallel import param_specs, shard_tree
+
+    config = tiny_test_config("llama", vocab_size=64)
+    params = T.init_params(config, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, 64, size=(2, 12)), jnp.int32)
+    mask = jnp.ones((2, 12), jnp.int32)
+
+    want = np.asarray(greedy_generate(
+        params, config, ids, mask, max_new_tokens=8,
+        eos_token_id=-1, pad_token_id=0,
+    ))
+
+    mesh = make_mesh(dp=1, tp=4)
+    sharded = shard_tree(params, param_specs(config), mesh)
+    with mesh:
+        got = np.asarray(greedy_generate(
+            sharded, config, ids, mask, max_new_tokens=8,
+            eos_token_id=-1, pad_token_id=0,
+        ))
+    np.testing.assert_array_equal(got, want)
