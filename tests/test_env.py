@@ -37,3 +37,25 @@ def test_sharding_machinery():
 
     mesh = make_mesh(dp=len(jax.devices()))
     assert mesh.shape["dp"] == len(jax.devices())
+
+
+def test_profiling_utilities(tmp_path):
+    from ecg_byte_tpu.utils import profiling
+
+    timer = profiling.StepTimer()
+    x = jnp.ones((64, 64))
+    f = jax.jit(lambda a: (a @ a).sum())
+    for _ in range(3):
+        with timer.step():
+            out = f(x)
+            timer.sync(out)
+    s = timer.summary()
+    assert s["steps"] == 3 and s["mean_s"] > 0
+
+    dt = profiling.log_compile_time(f, x, label="matmul")
+    assert dt > 0
+
+    with profiling.trace(str(tmp_path / "trace")):
+        f(x).block_until_ready()
+    import os
+    assert os.path.isdir(tmp_path / "trace")
