@@ -6,11 +6,11 @@ inherently serial, but it decomposes into three data-parallel stages:
 
 1. **Longest match per position** -- the token dictionary is compiled into
    per-length one-hot *filter banks*, and matching becomes 1-D convolution
-   on the MXU: for tokens of length L, ``conv(one_hot(q), W_L)`` counts
-   agreeing symbols, and a count of L is an exact dictionary hit.  Token ids
-   are recovered with two skinny matmuls (ids split into exact-in-bf16
-   high/low parts).  After this, position ``i`` knows the longest token
-   starting at ``i`` and its id.  (A gather-based automaton scan is kept as
+   on the MXU: for tokens of length L, matching a width-W filter bank over
+   im2col windows counts agreeing symbols, and a count of L is an exact
+   dictionary hit.  (length, id) pairs pack into one f32-exact weight so a
+   single fused compare-select-max pass recovers the longest token and its
+   id; position/token tiling bounds the transients at any record length.  (A gather-based automaton scan is kept as
    an alternative backend: TPU gathers run ~100x slower than this conv
    formulation, but it is useful on CPU and for cross-checks.)
 
@@ -214,6 +214,12 @@ def build_matcher(
             continue  # unreachable in quantized ECG strings
         if len(symbols) < 2:
             continue  # single symbols are handled implicitly
+        if int(token_id) >= 8192:
+            # the fused-max path packs ids into len*8192 + id (f32-exact)
+            raise ValueError(
+                f"token id {token_id} exceeds the conv matcher's 8191 limit; "
+                "use the Automaton backend for vocabularies this large"
+            )
         by_seq[symbols] = int(token_id)  # later merges overwrite
 
     widths = sorted(group_widths)

@@ -15,6 +15,10 @@ an online-softmax tiled kernel (forward + recompute-based backward via
 The backward pass recomputes probabilities per tile from the saved
 logsumexp, accumulating dq over k-blocks and dk/dv over q-blocks in
 separate kernels (the standard FA2 split).
+
+Known limitation: under a multi-device mesh the kernel is not yet wrapped in
+``shard_map``, so GSPMD cannot partition it — keep the XLA attention path
+(the default below 4k tokens) for sharded training until then.
 """
 
 from __future__ import annotations
