@@ -31,6 +31,10 @@ _PRESETS = {
     "openai-community/gpt2-xl": gpt2_xl,
     "gpt2-xl": gpt2_xl,
     "tiny-llama": lambda: tiny_test_config("llama", vocab_size=512),
+    "small-llama": lambda: tiny_test_config(
+        "llama", vocab_size=512, hidden_size=256, num_layers=4, num_heads=8,
+        num_kv_heads=4, head_dim=32, intermediate_size=1024,
+    ),
     "tiny-gpt2": lambda: tiny_test_config("gpt2", vocab_size=512),
     "tiny-gemma": lambda: tiny_test_config("gemma", vocab_size=512),
 }

@@ -109,8 +109,24 @@ def _log_fn(args):
         return None
 
 
+def _install_sigterm_handler():
+    """Convert SIGTERM into an exception so the crash-checkpoint finally
+    block runs (the reference's crash save only covers Python exceptions;
+    preemptions/timeouts send SIGTERM)."""
+    import signal
+
+    def handler(signum, frame):
+        raise KeyboardInterrupt("SIGTERM")
+
+    try:
+        signal.signal(signal.SIGTERM, handler)
+    except ValueError:
+        pass  # non-main thread
+
+
 def main():
     args = get_args()
+    _install_sigterm_handler()
     from ecg_byte_tpu.parallel.distributed import maybe_initialize
 
     maybe_initialize()  # multi-host slices; no-op on a single host
@@ -252,6 +268,21 @@ def main():
         if args.profile:
             jax.profiler.start_trace(args.profile)
         train_loss, val_loss = [], []
+
+        def snapshot(s, limit_bytes=2 << 30):
+            """Host copy of the state for crash saving: the live device
+            state is donated into the next step, so after an interrupt its
+            buffers are deleted.  Skipped for states too large to mirror in
+            host RAM cheaply (then crash saves are best-effort, as in the
+            reference, whose finally block never runs on SIGTERM at all)."""
+            n = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(s))
+            if n > limit_bytes:
+                return None
+            return jax.tree.map(np.asarray, s)
+
+        # crash saves use the last epoch-boundary snapshot (the reference's
+        # crash checkpoint is likewise the last epoch-end state dict)
+        last_completed = snapshot(state)
         try:
             for epoch in range(start_epoch, args.epochs):
                 state, train_dic = trainer(
@@ -273,15 +304,18 @@ def main():
                 if early_stopping(val_loss, patience=args.patience, delta=0.01):
                     print("Validation loss has stopped decreasing. Early stopping...")
                     break
+                last_completed = snapshot(state)
                 if val_dic["average_loss"] <= min(val_loss):
                     save_checkpoint(directory_path, "best_model", state, epoch=epoch)
                     print(f"Best model saved at epoch: {epoch+1}")
                 print("-----------------------------------------------------------")
-        except Exception as e:
+        except (Exception, KeyboardInterrupt) as e:
             print(f"An error occurred: {e}")
-            save_checkpoint(directory_path, "crash_model", state, epoch=len(train_loss))
             raise
         finally:
+            # single crash save here covers exceptions, SIGTERM (converted
+            # above), and normal exit — the reference's except+finally
+            # double-save races shutdown
             if args.profile:
                 jax.profiler.stop_trace()
                 print(f"Profiler trace written to {args.profile}")
