@@ -232,6 +232,20 @@ def main():
         ckpt_dir = f"./runs/{args.seed}/{args.checkpoint}"
 
         def generate_fn(batch):
+            # bucket prompt lengths to multiples of 64 to avoid per-length
+            # recompilation of the decode program
+            seq = np.asarray(batch["tokenized_signal2"])
+            m = np.asarray(batch["attn_mask2"])
+            bucket = -(-seq.shape[1] // 64) * 64
+            pad = bucket - seq.shape[1]
+            if pad:
+                batch = dict(batch)
+                batch["tokenized_signal2"] = np.concatenate(
+                    [np.full((seq.shape[0], pad), pad_id, seq.dtype), seq], axis=1
+                )
+                batch["attn_mask2"] = np.concatenate(
+                    [np.zeros((m.shape[0], pad), m.dtype), m], axis=1
+                )
             db = to_device_batch(batch)
             out = fus.fusion_generate(
                 llm_params, llm_config, trainable["fusion"], args.model, db,

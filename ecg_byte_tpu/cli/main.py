@@ -187,6 +187,17 @@ def main():
         def generate_fn(batch):
             ids = np.asarray(batch["tokenized_signal"], np.int32)
             mask = np.asarray(batch["attn_mask"], np.int32)
+            # bucket prompt lengths to multiples of 128: variable-length
+            # prompts would otherwise recompile the decode program per sample
+            bucket = -(-ids.shape[1] // 128) * 128
+            pad = bucket - ids.shape[1]
+            if pad:
+                ids = np.concatenate(
+                    [np.full((ids.shape[0], pad), pad_id, np.int32), ids], axis=1
+                )
+                mask = np.concatenate(
+                    [np.zeros((mask.shape[0], pad), np.int32), mask], axis=1
+                )
             out = greedy_generate(
                 state.full_params(), config, ids, mask,
                 lora=state.lora(), max_new_tokens=128,
