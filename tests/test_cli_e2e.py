@@ -50,6 +50,14 @@ def workdir(tmp_path_factory):
     )
     with open(root / "data/sampled_ecg_files_8.txt", "w") as f:
         f.write("\n".join(paths))
+    # build the tokenizer here so every test in this module is standalone
+    from ecg_byte_tpu.ops.quantize import normalize_quantize, quantized_to_string
+    from ecg_byte_tpu.tokenizer import BpeTokenizer
+
+    stats = np.load(root / "data/stats.npy", allow_pickle=True).item()
+    _, q = normalize_quantize(allsig, stats["percentile_1"], stats["percentile_99"])
+    corpus = "".join(quantized_to_string(np.asarray(qi)) for qi in q)
+    BpeTokenizer.train(corpus, 80).save(str(root / "data/tokenizer_80.pkl"))
     return root
 
 

@@ -60,7 +60,13 @@ def test_pretrain_resnet(workdir):
     assert os.path.isdir(workdir / "runs/0" / STAGE1_DIR / "best_model")
 
 
+def _ensure_stage1(workdir):
+    if not os.path.isdir(workdir / "runs/0" / STAGE1_DIR / "best_model"):
+        test_pretrain_resnet(workdir)
+
+
 def test_finetune_train_and_inference(workdir):
+    _ensure_stage1(workdir)
     args = [
         "ecg_byte_tpu.cli.finetune", "--model", "resnet_model",
         "--llm", "tiny-llama", "--dataset", "ptb_500",
