@@ -122,3 +122,19 @@ def test_main_train_gemma_family(workdir):
     args[args.index("tiny-llama")] = "tiny-gemma"
     out = _run(args + ["--seed", "2"], cwd=workdir)
     assert "Training Finished" in out
+
+
+def test_make_synthetic_cli(tmp_path):
+    out = _run(
+        ["ecg_byte_tpu.cli.make_synthetic", "--n_train", "6", "--n_val", "2",
+         "--n_test", "2", "--seg_len", "80"],
+        cwd=tmp_path,
+    )
+    assert "Wrote 6/2/2" in out
+    import numpy as np
+    sig = np.load(tmp_path / "data/ptb_500/ecg/train/ecg_0_0.npy")
+    assert sig.shape == (12, 80)
+    stats = np.load(tmp_path / "data/ptb_500_dataset_stats.npy",
+                    allow_pickle=True).item()
+    assert stats["percentile_1"] < stats["percentile_99"]
+    assert os.path.exists(tmp_path / "data/sampled_ecg_files_6.txt")
