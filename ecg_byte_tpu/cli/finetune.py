@@ -332,10 +332,9 @@ def main():
             if val_loss[-1] <= min(val_loss):
                 save_checkpoint(directory_path, "best_model", trainable, epoch=epoch)
                 print(f"Best model saved at epoch: {epoch+1}")
-    except Exception:
-        save_checkpoint(directory_path, "crash_model", trainable, epoch=len(train_loss))
-        raise
     finally:
+        # single save: finally also runs on exceptions, and the fusion step
+        # does not donate its inputs so ``trainable`` is always alive here
         save_checkpoint(directory_path, "crash_model", trainable, epoch=len(train_loss))
         print("Training Finished")
 

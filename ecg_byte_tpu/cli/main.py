@@ -29,7 +29,11 @@ from ecg_byte_tpu.models import lora as lora_lib
 from ecg_byte_tpu.parallel import make_mesh
 from ecg_byte_tpu.tokenizer import load_vocab_and_merges
 from ecg_byte_tpu.train import create_train_state, make_eval_step, make_train_step
-from ecg_byte_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from ecg_byte_tpu.train.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    save_crash_checkpoint,
+)
 from ecg_byte_tpu.train.runner import trainer, validater
 from ecg_byte_tpu.train.scheduler import make_optimizer
 from ecg_byte_tpu.train.step import TrainState, shard_state
@@ -294,6 +298,7 @@ def main():
         # crash saves use the last epoch-boundary snapshot (the reference's
         # crash checkpoint is likewise the last epoch-end state dict)
         last_completed = snapshot(state)
+        last_completed_epoch = start_epoch
         try:
             for epoch in range(start_epoch, args.epochs):
                 state, train_dic = trainer(
@@ -312,10 +317,11 @@ def main():
                 if log_fn:
                     log_fn({"train_epoch_loss": train_dic["average_loss"],
                             "val_epoch_loss": val_dic["average_loss"], "epoch": epoch})
+                last_completed = snapshot(state)
+                last_completed_epoch = epoch
                 if early_stopping(val_loss, patience=args.patience, delta=0.01):
                     print("Validation loss has stopped decreasing. Early stopping...")
                     break
-                last_completed = snapshot(state)
                 if val_dic["average_loss"] <= min(val_loss):
                     save_checkpoint(directory_path, "best_model", state, epoch=epoch)
                     print(f"Best model saved at epoch: {epoch+1}")
@@ -330,7 +336,19 @@ def main():
             if args.profile:
                 jax.profiler.stop_trace()
                 print(f"Profiler trace written to {args.profile}")
-            save_checkpoint(directory_path, "crash_model", state, epoch=len(train_loss))
+            # the live state's buffers are deleted after a mid-epoch
+            # interrupt (they were donated into the jitted step); fall back
+            # to the host-RAM epoch-boundary snapshot in that case
+            source = save_crash_checkpoint(
+                directory_path, state, last_completed,
+                epoch=len(train_loss), fallback_epoch=last_completed_epoch,
+            )
+            if source == "snapshot":
+                print("Live state was donated/deleted; crash checkpoint "
+                      f"saved from the epoch-{last_completed_epoch} snapshot")
+            elif source == "none":
+                print("WARNING: no savable state for the crash checkpoint "
+                      "(live buffers deleted and state too large to snapshot)")
             plot_train_val_loss(train_loss, val_loss, directory_path)
             print("Training Finished")
 

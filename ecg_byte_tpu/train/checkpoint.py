@@ -51,3 +51,48 @@ def load_checkpoint(directory: str, role: str, target: Optional[Any] = None):
 
 def checkpoint_exists(directory: str, role: str) -> bool:
     return os.path.isdir(_path(directory, role))
+
+
+def state_is_alive(state: Any) -> bool:
+    """True unless any ``jax.Array`` leaf's buffer has been deleted.
+
+    The train step donates its input state (train/step.py
+    ``donate_argnums=(0,)``), so after a mid-epoch interrupt the caller's
+    reference points at deleted device buffers.  CPU ignores donation, which
+    is why only this explicit check (not an access attempt) is portable
+    across test and TPU environments.
+    """
+    for leaf in jax.tree.leaves(state):
+        if isinstance(leaf, jax.Array):
+            try:
+                if leaf.is_deleted():
+                    return False
+            except Exception:
+                return False
+    return True
+
+
+def save_crash_checkpoint(
+    directory: str,
+    state: Any,
+    fallback: Optional[Any],
+    *,
+    epoch: int = 0,
+    fallback_epoch: int = 0,
+) -> str:
+    """Crash-save path (reference main.py:322-346 semantics, donation-safe).
+
+    Saves the live ``state`` when its buffers are intact; otherwise falls
+    back to ``fallback`` — a host-RAM snapshot taken at the last epoch
+    boundary, which a donated-and-deleted live state cannot invalidate.
+
+    Returns the source actually saved: ``"live"``, ``"snapshot"``, or
+    ``"none"`` (nothing savable).
+    """
+    if state_is_alive(state):
+        save_checkpoint(directory, "crash_model", state, epoch=epoch)
+        return "live"
+    if fallback is not None:
+        save_checkpoint(directory, "crash_model", fallback, epoch=fallback_epoch)
+        return "snapshot"
+    return "none"

@@ -40,20 +40,37 @@ def trainer(
     toy: bool = False,
     log_fn: Optional[Callable] = None,
     desc: str = "Training",
+    log_every: int = 32,
 ):
+    """Run one training epoch.
+
+    The per-step loss stays ON DEVICE: a host ``float(loss)`` every step
+    would force a device->host round-trip that serializes dispatch (a major
+    MFU drain through a slow host link).  Losses accumulate as a device
+    scalar; the host syncs once per ``log_every`` window (logging the window
+    average — same information the reference's per-step wandb line carries,
+    without the per-step stall) and once at epoch end.
+    """
     dataloader.set_epoch(epoch)
-    total_loss, n_batches, dev_count = 0.0, 0, 0
+    n_batches, dev_count = 0, 0
+    total_loss = 0.0                   # host float, updated once per window
+    window_sum, window_n = None, 0     # device scalar accumulator
     for step, batch in enumerate(tqdm(dataloader, desc=desc, leave=True)):
         if batch is None:
             print(f"Skipping invalid batch at step {step}")
             continue
         try:
             state, loss = step_fn(state, model_batch(batch), rng)
-            loss_val = float(loss)
-            total_loss += loss_val
+            window_sum = loss if window_sum is None else window_sum + loss
+            window_n += 1
             n_batches += 1
-            if log_fn is not None:
-                log_fn({"train_step_loss": loss_val, "epoch": epoch, "train_step": step})
+            if window_n >= log_every:
+                w = float(window_sum)  # the only device->host sync
+                total_loss += w
+                if log_fn is not None:
+                    log_fn({"train_step_loss": w / window_n, "epoch": epoch,
+                            "train_step": step, "window_size": window_n})
+                window_sum, window_n = None, 0
             if ((step + 1) % 50000 == 0) and not toy and directory_path:
                 save_checkpoint(
                     directory_path, f"best_train_model_{epoch}_{step}", state,
@@ -66,7 +83,13 @@ def trainer(
         except Exception as e:  # keep epochs alive past bad batches (:59-61)
             print(f"Error during training at step {step}: {e}")
             continue
-    average_loss = total_loss / n_batches if n_batches else float("inf")
+    if window_sum is not None:
+        try:
+            total_loss += float(window_sum)
+        except Exception as e:  # async dispatch errors surface at this sync
+            print(f"Error syncing final loss window: {e}")
+            n_batches -= window_n
+    average_loss = total_loss / n_batches if n_batches > 0 else float("inf")
     return state, {"average_loss": average_loss}
 
 
@@ -79,18 +102,27 @@ def validater(
     dev: bool = False,
     log_fn: Optional[Callable] = None,
     desc: str = "Validating",
+    log_every: int = 32,
 ):
-    total_loss, n_batches, dev_count = 0.0, 0, 0
+    n_batches, dev_count = 0, 0
+    total_loss = 0.0
+    window_sum, window_n = None, 0     # device scalar accumulator (see trainer)
     for step, batch in enumerate(tqdm(dataloader, desc=desc, leave=True)):
         if batch is None:
             print(f"Skipping invalid batch at step {step}")
             continue
         try:
-            loss_val = float(eval_fn(state, model_batch(batch)))
-            total_loss += loss_val
+            loss = eval_fn(state, model_batch(batch))
+            window_sum = loss if window_sum is None else window_sum + loss
+            window_n += 1
             n_batches += 1
-            if log_fn is not None:
-                log_fn({"val_step_loss": loss_val, "epoch": epoch, "val_step": step})
+            if window_n >= log_every:
+                w = float(window_sum)
+                total_loss += w
+                if log_fn is not None:
+                    log_fn({"val_step_loss": w / window_n, "epoch": epoch,
+                            "val_step": step, "window_size": window_n})
+                window_sum, window_n = None, 0
             if dev:
                 dev_count += 1
                 if dev_count == 10:
@@ -98,5 +130,11 @@ def validater(
         except Exception as e:
             print(f"Error during validation at step {step}: {e}")
             continue
-    average_loss = total_loss / n_batches if n_batches else float("inf")
+    if window_sum is not None:
+        try:
+            total_loss += float(window_sum)
+        except Exception as e:
+            print(f"Error syncing final loss window: {e}")
+            n_batches -= window_n
+    average_loss = total_loss / n_batches if n_batches > 0 else float("inf")
     return {"average_loss": average_loss}
