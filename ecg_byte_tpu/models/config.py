@@ -25,6 +25,15 @@ class TransformerConfig:
     max_position_embeddings: int
     norm_eps: float = 1e-5
     rope_theta: float = 10000.0
+    # RoPE frequency rescaling (HF config.json "rope_scaling"):
+    # None | 'linear' | 'llama3' — Llama-3.1/3.2 checkpoints require 'llama3'
+    # (reference transformers modeling_rope_utils.py:310-350 applies the
+    # rescale at ALL positions, so dropping it changes every logit).
+    rope_scaling_type: str | None = None
+    rope_scaling_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
     tie_word_embeddings: bool = False
     # gpt2 uses learned absolute position embeddings + biases + LayerNorm
     learned_pos_embeddings: bool = False
@@ -70,6 +79,12 @@ def llama_3_2_1b(vocab_size: int = 128256) -> TransformerConfig:
         max_position_embeddings=131072,
         norm_eps=1e-5,
         rope_theta=500000.0,
+        # Llama-3.2 ships rope_scaling rope_type="llama3" in its config.json
+        rope_scaling_type="llama3",
+        rope_scaling_factor=32.0,
+        rope_low_freq_factor=1.0,
+        rope_high_freq_factor=4.0,
+        rope_original_max_position=8192,
         tie_word_embeddings=True,
         hidden_act="silu",
     )

@@ -67,6 +67,21 @@ def config_from_hf(model_dir: str) -> TransformerConfig:
         )
     arch = "gemma" if mt.startswith("gemma") else "llama"
     head_dim = hf.get("head_dim") or hf["hidden_size"] // hf["num_attention_heads"]
+    # rope_scaling: Llama-3.1/3.2 ship {"rope_type": "llama3", ...} — HF
+    # applies the inv_freq rescale at every position
+    # (modeling_rope_utils.py), so it must be carried into the config
+    rope_kw = {}
+    rs = hf.get("rope_scaling") or {}
+    if rs:
+        rope_kw = dict(
+            rope_scaling_type=rs.get("rope_type", rs.get("type")),
+            rope_scaling_factor=float(rs.get("factor", 1.0)),
+            rope_low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+            rope_high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+            rope_original_max_position=int(
+                rs.get("original_max_position_embeddings", 8192)
+            ),
+        )
     return TransformerConfig(
         arch=arch,
         vocab_size=hf["vocab_size"],
@@ -83,6 +98,7 @@ def config_from_hf(model_dir: str) -> TransformerConfig:
         embed_scale=arch == "gemma",
         rmsnorm_unit_offset=arch == "gemma",
         hidden_act="gelu_tanh" if arch == "gemma" else "silu",
+        **rope_kw,
     )
 
 

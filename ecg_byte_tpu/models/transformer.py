@@ -134,13 +134,47 @@ def _norm(x, weight, bias, config: TransformerConfig):
     return y.astype(x.dtype)
 
 
-def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+def rope_inv_freq(config: TransformerConfig, d: int) -> np.ndarray:
+    """Inverse RoPE frequencies with HF rope_scaling parity.
+
+    Matches the reference fork's modeling_rope_utils.py:
+    default (:56-68), 'linear' (:100-110), 'llama3' (:310-350 — the
+    wavelength-banded rescale Llama-3.1/3.2 checkpoints require).  Computed
+    in numpy so it constant-folds at trace time.
+    """
+    inv = 1.0 / (
+        config.rope_theta ** (np.arange(0, d, 2, dtype=np.float32) / d)
+    )
+    t = config.rope_scaling_type
+    if t in (None, "default"):
+        return inv
+    if t == "linear":
+        return inv / config.rope_scaling_factor
+    if t == "llama3":
+        factor = config.rope_scaling_factor
+        low = config.rope_low_freq_factor
+        high = config.rope_high_freq_factor
+        old_len = config.rope_original_max_position
+        low_wavelen = old_len / low
+        high_wavelen = old_len / high
+        wavelen = 2 * np.pi / inv
+        # long wavelengths (low freq): divide by factor; short: unchanged
+        inv_l = np.where(wavelen > low_wavelen, inv / factor, inv)
+        # medium band: smooth interpolation between the two
+        smooth = (old_len / wavelen - low) / (high - low)
+        smoothed = (1 - smooth) * inv_l / factor + smooth * inv_l
+        is_medium = (wavelen >= high_wavelen) & (wavelen <= low_wavelen)
+        return np.where(is_medium, smoothed, inv_l).astype(np.float32)
+    raise NotImplementedError(f"rope_scaling type {t!r}")
+
+
+def _rope(x: jax.Array, positions: jax.Array, config: TransformerConfig) -> jax.Array:
     """Rotary embedding, HF rotate-half convention.
 
     x: (B, S, H, D); positions: (B, S) int32.
     """
     d = x.shape[-1]
-    inv_freq = 1.0 / (theta ** (np.arange(0, d, 2, dtype=np.float32) / d))
+    inv_freq = rope_inv_freq(config, d)
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # (B, S, D/2)
     cos = jnp.cos(angles)[:, :, None, :]
     sin = jnp.sin(angles)[:, :, None, :]
@@ -206,8 +240,8 @@ def _block(
     k = k.reshape(b, s, c.num_kv_heads, c.head_dim)
     v = v.reshape(b, s, c.num_kv_heads, c.head_dim)
     if not c.learned_pos_embeddings:
-        q = _rope(q, positions, c.rope_theta)
-        k = _rope(k, positions, c.rope_theta)
+        q = _rope(q, positions, c)
+        k = _rope(k, positions, c)
     attn, aux = attn_fn(q, k, v)
     attn = attn.reshape(b, s, c.qkv_dim)
     h = h + _proj(attn, layer_p, "o_proj", lora_p, c, dropout_rng)
