@@ -268,7 +268,9 @@ def main():
             res = tester(generate_fn, loader, two_stage=True, dev=args.dev)
             all_results.append(res)
             with open(f"{ckpt_dir}/seed_{seed}_results_{args.dataset}.json", "w") as f:
-                json.dump({"averages": res["metrics"], "qa_results": res["qa_results"]}, f)
+                json.dump({"averages": res["metrics"],
+                           "metric_modes": res["metric_modes"],
+                           "qa_results": res["qa_results"]}, f)
         stats = run_statistical_analysis(all_results)
         with open(f"{ckpt_dir}/statistical_analysis_{args.dataset}.json", "w") as f:
             json.dump(stats, f)

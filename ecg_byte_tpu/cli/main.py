@@ -226,6 +226,7 @@ def main():
             all_seed_results.append(seed_results)
             with open(f"{ckpt_dir}/seed_{seed}_results_{args.dataset}.json", "w") as f:
                 json.dump({"averages": seed_results["metrics"],
+                           "metric_modes": seed_results["metric_modes"],
                            "qa_results": seed_results["qa_results"]}, f)
         stats_results = run_statistical_analysis(all_seed_results)
         with open(f"{ckpt_dir}/statistical_analysis_{args.dataset}.json", "w") as f:

@@ -35,6 +35,11 @@ def get_args():
     parser.add_argument('--ecg_qa_glob', type=str, default=None,
                         help='ecg_qa_*: glob of template JSON files')
     parser.add_argument('--ptb_folder', type=str, default=None)
+    parser.add_argument('--ptb_task', type=str, default='superdiagnostic',
+                        choices=['all', 'diagnostic', 'subdiagnostic',
+                                 'superdiagnostic', 'form', 'rhythm'],
+                        help='PTB-XL label aggregation task '
+                             '(preprocess_utils.py:519-593)')
     return parser.parse_args()
 
 
@@ -46,7 +51,7 @@ def main():
     )
 
     if args.data == 'ptb':
-        preprocess_ptb(args.ptb_folder, pargs)
+        preprocess_ptb(args.ptb_folder, pargs, task=args.ptb_task)
         return
 
     if args.data == 'mimic':

@@ -65,9 +65,13 @@ def tester(
         "hf-prec": 0.0, "hf-rec": 0.0, "hf-f1": 0.0,
     }
     metric_counts = {k: 0 for k in metric_sums}
+    metric_modes: Dict[str, set] = {}
     for entry in all_results:
         for key, value in entry.items():
-            if key in ("ROUGE", "ROUGE-HF", "BERTSCORE"):
+            if key == "MODES":
+                for m, mode in value.items():
+                    metric_modes.setdefault(m, set()).add(mode)
+            elif key in ("ROUGE", "ROUGE-HF", "BERTSCORE"):
                 for sub_key, sub_value in value.items():
                     if key == "BERTSCORE":
                         metric_sums[sub_key] += sub_value[0]
@@ -83,6 +87,9 @@ def tester(
     }
     return {
         "metrics": seed_averages,
+        # which implementation produced each metric: e.g.
+        # {"meteor": ["wordnet"], "bertscore": ["zero-fill"]}
+        "metric_modes": {k: sorted(v) for k, v in metric_modes.items()},
         "qa_results": {
             "questions": questions,
             "gt_answers": gt_answers,

@@ -76,12 +76,15 @@ def _meteor_exact(ref: List[str], hyp: List[str]) -> float:
     return fmean * (1.0 - penalty)
 
 
-def calculate_meteor(references, hypotheses) -> float:
+def meteor_with_mode(references, hypotheses):
+    """Returns (score, mode).  mode is "wordnet" (true METEOR) or "exact"
+    (offline fallback: exact-unigram matching only) — reported results must
+    say which path produced them."""
     _ensure_wordnet()
     try:
         from nltk.translate.meteor_score import meteor_score
 
-        return float(
+        score = float(
             np.mean(
                 [
                     meteor_score([r.split()], h.split())
@@ -89,8 +92,9 @@ def calculate_meteor(references, hypotheses) -> float:
                 ]
             )
         )
+        return score, "wordnet"
     except LookupError:
-        return float(
+        score = float(
             np.mean(
                 [
                     _meteor_exact(r.split(), h.split())
@@ -98,6 +102,11 @@ def calculate_meteor(references, hypotheses) -> float:
                 ]
             )
         )
+        return score, "exact"
+
+
+def calculate_meteor(references, hypotheses) -> float:
+    return meteor_with_mode(references, hypotheses)[0]
 
 
 def calculate_rouge(references, hypotheses) -> Dict[str, float]:
@@ -111,8 +120,9 @@ def calculate_rouge(references, hypotheses) -> Dict[str, float]:
     }
 
 
-def calculate_bertscore(references, hypotheses, device=None) -> Dict[str, List[float]]:
-    """BERTScore P/R/F1; zeros when no local scorer model is available."""
+def bertscore_with_mode(references, hypotheses, device=None):
+    """Returns (P/R/F1 dict, mode).  mode is "hf" (real BERTScore) or
+    "zero-fill" (no local scorer model available offline)."""
     try:
         from evaluate import load  # optional dep, absent offline
 
@@ -123,21 +133,35 @@ def calculate_bertscore(references, hypotheses, device=None) -> Dict[str, List[f
             "hf-prec": results["precision"],
             "hf-rec": results["recall"],
             "hf-f1": results["f1"],
-        }
+        }, "hf"
     except Exception:
         n = len(hypotheses)
-        return {"hf-prec": [0.0] * n, "hf-rec": [0.0] * n, "hf-f1": [0.0] * n}
+        return {
+            "hf-prec": [0.0] * n,
+            "hf-rec": [0.0] * n,
+            "hf-f1": [0.0] * n,
+        }, "zero-fill"
+
+
+def calculate_bertscore(references, hypotheses, device=None) -> Dict[str, List[float]]:
+    """BERTScore P/R/F1; zeros when no local scorer model is available."""
+    return bertscore_with_mode(references, hypotheses, device)[0]
 
 
 def evaluate_strings(references, hypotheses, device=None) -> Dict:
-    """Full metric dict per model_utils.py:56-64."""
+    """Full metric dict per model_utils.py:56-64, plus a MODES entry that
+    labels whether METEOR/BERTScore ran their real implementation or an
+    offline fallback (silently changed numbers are worse than labeled ones)."""
     if len(references) != len(hypotheses):
         raise ValueError("The number of references and hypotheses must be the same.")
+    meteor, meteor_mode = meteor_with_mode(references, hypotheses)
+    bert, bert_mode = bertscore_with_mode(references, hypotheses, device)
     return {
         "BLEU": calculate_bleu(references, hypotheses),
-        "METEOR": calculate_meteor(references, hypotheses),
+        "METEOR": meteor,
         "ROUGE": calculate_rouge(references, hypotheses),
-        "BERTSCORE": calculate_bertscore(references, hypotheses, device),
+        "BERTSCORE": bert,
+        "MODES": {"meteor": meteor_mode, "bertscore": bert_mode},
     }
 
 

@@ -164,3 +164,88 @@ def test_analysis_token_tools(tmp_path):
     assert segmap[0][0] == 0 and segmap[-1][1] == len(text)
     for (s1, e1), (s2, e2) in zip(segmap, segmap[1:]):
         assert e1 == s2
+
+
+# ---------------------------------------------------------------------------
+# PTB-XL label aggregation: all six tasks (preprocess_utils.py:519-662)
+
+
+def _scp_fixture():
+    import pandas as pd
+
+    agg_df = pd.DataFrame(
+        {
+            "diagnostic": [1.0, 1.0, 1.0, np.nan, np.nan, np.nan],
+            "form": [np.nan, np.nan, np.nan, 1.0, np.nan, 1.0],
+            "rhythm": [np.nan, np.nan, np.nan, np.nan, 1.0, np.nan],
+            "diagnostic_class": ["NORM", "MI", "STTC", np.nan, np.nan, np.nan],
+            "diagnostic_subclass": ["NORM", "IMI", np.nan, np.nan, np.nan, np.nan],
+        },
+        index=["NORM", "IMI", "NDT", "PVC", "SR", "ABQRS"],
+    )
+    scp_codes = [
+        {"NORM": 100.0, "SR": 0.0},
+        {"IMI": 80.0, "ABQRS": 0.0, "SR": 0.0},
+        {"NDT": 100.0, "PVC": 0.0},
+        {"XYZ": 50.0},  # unknown code: never aggregates
+    ]
+    return agg_df, scp_codes
+
+
+@pytest.mark.parametrize(
+    "task,expected",
+    [
+        ("all", [{"NORM", "SR"}, {"IMI", "ABQRS", "SR"}, {"NDT", "PVC"}, {"XYZ"}]),
+        ("diagnostic", [{"NORM"}, {"IMI"}, {"NDT"}, set()]),
+        ("subdiagnostic", [{"NORM"}, {"IMI"}, set(), set()]),
+        ("superdiagnostic", [{"NORM"}, {"MI"}, {"STTC"}, set()]),
+        ("form", [set(), {"ABQRS"}, {"PVC"}, set()]),
+        ("rhythm", [{"SR"}, {"SR"}, set(), set()]),
+    ],
+)
+def test_ptb_label_aggregation_tasks(task, expected):
+    from ecg_byte_tpu.data.preprocess import compute_label_aggregations
+
+    agg_df, scp_codes = _scp_fixture()
+    got = compute_label_aggregations(scp_codes, agg_df, task)
+    assert [set(row) for row in got] == expected
+
+
+def test_ptb_select_labeled_filters_empty_rows_and_binarizes():
+    from ecg_byte_tpu.data.preprocess import (
+        compute_label_aggregations,
+        select_labeled,
+    )
+
+    agg_df, scp_codes = _scp_fixture()
+    agg = compute_label_aggregations(scp_codes, agg_df, "superdiagnostic")
+    keep, kept, y, mlb = select_labeled(agg, "superdiagnostic", min_samples=0)
+    np.testing.assert_array_equal(keep, [True, True, True, False])
+    assert list(mlb.classes_) == ["MI", "NORM", "STTC"]
+    np.testing.assert_array_equal(y, [[0, 1, 0], [1, 0, 0], [0, 0, 1]])
+
+
+def test_ptb_select_labeled_min_samples():
+    from ecg_byte_tpu.data.preprocess import (
+        compute_label_aggregations,
+        select_labeled,
+    )
+
+    agg_df, scp_codes = _scp_fixture()
+    # form labels each appear once -> min_samples=1 drops them all
+    agg = compute_label_aggregations(scp_codes, agg_df, "form")
+    keep, _, _, _ = select_labeled(agg, "form", min_samples=1)
+    assert not keep.any()
+    # rhythm SR appears twice -> survives min_samples=1
+    agg = compute_label_aggregations(scp_codes, agg_df, "rhythm")
+    keep, _, y, mlb = select_labeled(agg, "rhythm", min_samples=1)
+    np.testing.assert_array_equal(keep, [True, True, False, False])
+    assert list(mlb.classes_) == ["SR"]
+
+
+def test_ptb_unknown_task_raises():
+    from ecg_byte_tpu.data.preprocess import compute_label_aggregations
+
+    agg_df, scp_codes = _scp_fixture()
+    with pytest.raises(ValueError):
+        compute_label_aggregations(scp_codes, agg_df, "bogus")
