@@ -374,7 +374,7 @@ def _compact(match_tok, visited):
     return jax.vmap(one)(match_tok, visited)
 
 
-_MATCH_BYTES_BUDGET = 2 << 30  # cap the transient (B_chunk, N, T) hit/score
+_MATCH_BYTES_BUDGET = 64 << 20  # cap the transient score tiles (64 MB swept fastest on v5e)
 
 
 @functools.partial(jax.jit, static_argnames=("matcher_max_len", "banks_meta"))

@@ -1,0 +1,75 @@
+"""Pallas BPE encode path: exactness vs the conv matcher and native trie."""
+
+import numpy as np
+import pytest
+
+from ecg_byte_tpu.ops import bpe_encode, bpe_match
+from ecg_byte_tpu.ops.quantize import quantized_to_string
+from ecg_byte_tpu.tokenizer import native
+
+
+@pytest.fixture(scope="module")
+def toy():
+    rng = np.random.default_rng(0)
+    # random-walk symbols give realistic repeated motifs
+    walk = np.cumsum(rng.integers(-2, 3, size=4000))
+    corpus_q = (np.abs(walk) % 26).astype(np.uint8)
+    corpus = quantized_to_string(corpus_q).encode()
+    _, merges = native.train(corpus, 80)
+    q = (np.abs(np.cumsum(rng.integers(-2, 3, size=(3, 240)), axis=1)) % 26
+         ).astype(np.uint8)
+    return merges, q
+
+
+def test_pallas_encode_matches_conv_and_native(toy):
+    merges, q = toy
+    pm = bpe_match.build_pallas_matcher(merges)
+    cm = bpe_encode.build_matcher(merges)
+    ids_p, cnt_p = bpe_match.encode(q, pm, tile_n=128, interpret=True)
+    ids_c, cnt_c = bpe_encode.encode(q, cm)
+    np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_c))
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_c))
+    # oracle: native trie encoder row by row
+    enc = native.NativeEncoder(merges)
+    for i, row in enumerate(np.asarray(q)):
+        want = [int(t) for t in enc.encode(quantized_to_string(row).encode())]
+        got = [int(t) for t in np.asarray(ids_p)[i][: int(cnt_p[i])]]
+        assert got == want
+
+
+def test_pallas_single_stream(toy):
+    merges, q = toy
+    pm = bpe_match.build_pallas_matcher(merges)
+    ids, cnt = bpe_match.encode(q[0], pm, tile_n=128, interpret=True)
+    enc = native.NativeEncoder(merges)
+    want = [int(t) for t in enc.encode(quantized_to_string(q[0]).encode())]
+    assert [int(t) for t in np.asarray(ids)[: int(cnt)]] == want
+
+
+def test_longest_match_matches_conv(toy):
+    merges, q = toy
+    pm = bpe_match.build_pallas_matcher(merges)
+    cm = bpe_encode.build_matcher(merges)
+    import jax
+
+    mt_p, ml_p = jax.jit(
+        lambda x: bpe_match.longest_match(x, pm, tile_n=128, interpret=True)
+    )(q)
+    mt_c, ml_c = jax.jit(
+        lambda x: bpe_encode._longest_match_conv(x.astype(np.int32), cm)
+    )(q)
+    np.testing.assert_array_equal(np.asarray(ml_p), np.asarray(ml_c))
+    np.testing.assert_array_equal(np.asarray(mt_p), np.asarray(mt_c))
+
+
+def test_chain_matches_scan(toy):
+    merges, q = toy
+    cm = bpe_encode.build_matcher(merges)
+    import jax
+
+    mt, ml = jax.jit(
+        lambda x: bpe_encode._longest_match_conv(x, cm)
+    )(q.astype(np.int32))
+    vis_scan = bpe_encode._greedy_chain_scan(ml, cm.max_len)
+    vis_pl = bpe_match.greedy_chain(ml, tile_rows=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(vis_scan), np.asarray(vis_pl))
