@@ -16,9 +16,10 @@ The backward pass recomputes probabilities per tile from the saved
 logsumexp, accumulating dq over k-blocks and dk/dv over q-blocks in
 separate kernels (the standard FA2 split).
 
-Known limitation: under a multi-device mesh the kernel is not yet wrapped in
-``shard_map``, so GSPMD cannot partition it — keep the XLA attention path
-(the default below 4k tokens) for sharded training until then.
+Under a multi-device mesh use :func:`flash_attention_sharded` — a
+``shard_map`` wrapper partitioning batch over the data axes and query
+heads over ``tp`` (attention needs no collectives), since a raw
+``pallas_call`` is opaque to the GSPMD partitioner.
 """
 
 from __future__ import annotations
@@ -384,3 +385,52 @@ def flash_attention(
     bq = min(block_q, int(np.ceil(s / 8) * 8))
     bk = min(block_k, bq)
     return _flash(q, k, v, pad_mask, bq, bk, interpret)
+
+
+def flash_attention_sharded(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pad_mask: Optional[jax.Array] = None,
+    *,
+    mesh,
+    batch_axes=("dp", "fsdp"),
+    head_axis: str = "tp",
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention under a device mesh via ``shard_map``.
+
+    Attention is independent per (batch row, query-head group), so the
+    kernel shards embarrassingly: batch over the data axes, heads over the
+    tensor axis, sequence and head_dim local — no collectives.  GQA
+    requires the kv heads to divide the ``tp`` axis size (each shard keeps
+    whole kv groups, mirroring parallel/sharding.py's head partitioning).
+
+    Fills the gap GSPMD cannot: a ``pallas_call`` is opaque to the
+    partitioner, so without this wrapper the kernel would be replicated
+    (or rejected) under a mesh (sdpa-path role, modeling_llama.py:538-541).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    present = [a for a in batch_axes if a in mesh.axis_names]
+    batch_spec = tuple(present) if present else None
+    head = head_axis if head_axis in mesh.axis_names else None
+    q_spec = P(batch_spec, None, head, None)
+    mask_spec = P(batch_spec, None)
+
+    def local(qs, ks, vs, ms):
+        return flash_attention(
+            qs, ks, vs, ms, block_q=block_q, block_k=block_k,
+            interpret=interpret,
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(q_spec, q_spec, q_spec, mask_spec),
+        out_specs=q_spec,
+        check_rep=False,
+    )(q, k, v, pad_mask if pad_mask is not None else jnp.ones(q.shape[:2], jnp.int32))

@@ -67,3 +67,28 @@ def test_unsupported_configs_raise():
     q = jnp.zeros((1, 8, 4, 16))  # sequence too short
     with pytest.raises(NotImplementedError):
         FA.flash_attention(q, q, q, None)
+
+
+def test_flash_attention_sharded_parity():
+    """shard_map-wrapped kernel matches the XLA reference on a dp x tp mesh."""
+    import jax
+    from ecg_byte_tpu.ops.attention import causal_attention
+    from ecg_byte_tpu.ops.flash_attention import flash_attention_sharded
+    from ecg_byte_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    rng = np.random.default_rng(0)
+    b, s, h, kh, d = 4, 64, 8, 4, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, kh, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, kh, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, s)) > 0.2, jnp.int32)
+    mask = mask.at[:, -1].set(1)
+
+    with mesh:
+        out = flash_attention_sharded(q, k, v, mask, mesh=mesh, interpret=True)
+    want, _ = causal_attention(q, k, v, mask, use_flash=False)
+    valid = np.asarray(mask)[:, :, None, None].astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(out) * valid, np.asarray(want) * valid, atol=2e-2, rtol=2e-2
+    )
