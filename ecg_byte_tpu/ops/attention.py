@@ -58,10 +58,13 @@ def causal_attention(
     """
     n_rep = q.shape[2] // k.shape[2]
     if use_flash is None:
-        # Measured on v5e: XLA's fused attention wins below ~2k tokens
-        # (flash 10.9ms vs XLA 6.2ms at S=1024, B8/H32/D64); the Pallas
-        # kernel pays off where the O(S^2) probability tensor becomes the
-        # bottleneck.  Auto-enable only for long sequences.
+        # Measured on v5e (uncontended, 256k tokens per shape): XLA's own
+        # fused attention is FASTER than the Pallas kernel at every size
+        # (e.g. S=8192/B1/H32/D64: 18 ms vs 39 ms after subtracting
+        # dispatch).  What XLA cannot do is bound memory: it materializes
+        # the (B, H, S, S) probability tensor (4.3 GB at S=8192/B1/H32
+        # bf16), which OOMs long-context training.  Auto-enable flash only
+        # where that materialization becomes the constraint.
         use_flash = (
             (not return_probs) and q.shape[1] >= 4096 and _flash_available()
         )
