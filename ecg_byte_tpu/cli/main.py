@@ -87,6 +87,11 @@ def get_args():
                         help='resume training from a checkpoint role in the '
                              'run dir (best_model | crash_model); restores '
                              'params, optimizer state, and epoch')
+    parser.add_argument('--eval_batch_size', type=int, default=1,
+                        help='inference decode batch: rows decode '
+                             'independently (identical token streams to '
+                             'batch 1) while the weight stream amortizes '
+                             'across the batch')
     parser.add_argument('--data_root', type=str, default='./data')
     return parser.parse_args()
 
@@ -183,7 +188,10 @@ def main():
         test_data = ECGTokenDataset(
             test_signals, test_texts, vocab, merges, tokenizer=tokenizer, args=data_cfg
         )
-        test_loader = DataLoader(test_data, batch_size=1, shuffle=False, pad_id=pad_id)
+        test_loader = DataLoader(
+            test_data, batch_size=args.eval_batch_size, shuffle=False,
+            pad_id=pad_id,
+        )
 
         ckpt_dir = f"./runs/{args.seed}/{args.checkpoint}"
         eos_id = tokenizer.eos_token_id
@@ -207,11 +215,16 @@ def main():
                 lora=state.lora(), max_new_tokens=128,
                 eos_token_id=eos_id, pad_token_id=pad_id,
             )
-            toks = [int(t) for t in np.asarray(out[0])]
-            if eos_id in toks:
-                toks = toks[: toks.index(eos_id)]
-            toks = [t for t in toks if t != pad_id]
-            return tokenizer.decode(toks, skip_special_tokens=True)
+
+            def detok(row):
+                toks = [int(t) for t in row]
+                if eos_id in toks:
+                    toks = toks[: toks.index(eos_id)]
+                toks = [t for t in toks if t != pad_id]
+                return tokenizer.decode(toks, skip_special_tokens=True)
+
+            texts = [detok(row) for row in np.asarray(out)]
+            return texts if args.eval_batch_size > 1 else texts[0]
 
         seeds = [0, 42, 123, 456, 789]
         all_seed_results = []

@@ -35,21 +35,22 @@ def tester(
     (prompt already sliced off)."""
     all_results, gt_answers, gen_answers, questions = [], [], [], []
     dev_count = 0
-    out = None
     for batch in tqdm(dataloader, desc=desc, leave=True):
         if batch is None:
             print("Skipping invalid batch")
             continue
-        answer = batch["answer"]
+        answers = batch["answer"]
         try:
             text = generate_fn(batch)
+            # batched decode returns one string per row; scalar decode one
+            texts = text if isinstance(text, list) else [text]
             if two_stage:
-                text = text.split("?")[-1]
-            out = [text]
-            all_results.append(evaluate_strings(answer, out, None))
-            gt_answers.append(answer[0])
-            gen_answers.append(out[0])
-            questions.append(batch["question"][0])
+                texts = [t.split("?")[-1] for t in texts]
+            for i, t in enumerate(texts):
+                all_results.append(evaluate_strings([answers[i]], [t], None))
+                gt_answers.append(answers[i])
+                gen_answers.append(t)
+                questions.append(batch["question"][i])
         except Exception as e:
             print("could not evaluate for some reason:", str(e))
             print(f"Error type: {type(e).__name__}")

@@ -222,3 +222,33 @@ def test_cached_tokens_match_online(toy_data):
         np.testing.assert_array_equal(
             a["quantized_signal_ids_input"], b["quantized_signal_ids_input"]
         )
+
+
+def test_batched_decode_matches_single(toy_data):
+    """Batched greedy decode (left-padded prompts) = per-sample streams."""
+    root, percentiles, bpe, tok, _ = toy_data
+    config = tiny_test_config("llama", vocab_size=len(tok))
+    params = T.init_params(config, jax.random.PRNGKey(1))
+    ds = _dataset(toy_data, inference=True)
+    items = [ds[i] for i in range(3)]
+
+    singles = []
+    for it in items:
+        batch = collate([it], pad_id=ds.pad_id)
+        out = greedy_generate(
+            params, config,
+            np.asarray(batch["tokenized_signal"], np.int32),
+            np.asarray(batch["attn_mask"], np.int32),
+            max_new_tokens=8, eos_token_id=ds.eos_id, pad_token_id=ds.pad_id,
+        )
+        singles.append(np.asarray(out[0]))
+
+    batch = collate(items, pad_id=ds.pad_id)
+    out = greedy_generate(
+        params, config,
+        np.asarray(batch["tokenized_signal"], np.int32),
+        np.asarray(batch["attn_mask"], np.int32),
+        max_new_tokens=8, eos_token_id=ds.eos_id, pad_token_id=ds.pad_id,
+    )
+    for i, want in enumerate(singles):
+        np.testing.assert_array_equal(np.asarray(out[i]), want)
