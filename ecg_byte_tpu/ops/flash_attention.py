@@ -413,7 +413,7 @@ def flash_attention_sharded(
     (or rejected) under a mesh (sdpa-path role, modeling_llama.py:538-541).
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     present = [a for a in batch_axes if a in mesh.axis_names]
     batch_spec = tuple(present) if present else None
@@ -432,5 +432,5 @@ def flash_attention_sharded(
         mesh=mesh,
         in_specs=(q_spec, q_spec, q_spec, mask_spec),
         out_specs=q_spec,
-        check_rep=False,
+        check_vma=False,
     )(q, k, v, pad_mask if pad_mask is not None else jnp.ones(q.shape[:2], jnp.int32))

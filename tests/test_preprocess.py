@@ -249,3 +249,37 @@ def test_ptb_unknown_task_raises():
     agg_df, scp_codes = _scp_fixture()
     with pytest.raises(ValueError):
         compute_label_aggregations(scp_codes, agg_df, "bogus")
+
+
+def test_wfdb_fmt80_and_fmt32(tmp_path):
+    """8-bit offset-128 and 32-bit little-endian sample formats."""
+    rng = np.random.default_rng(4)
+    # fmt 80
+    adc8 = rng.integers(-128, 128, size=(40, 3)).astype(np.int32)
+    with open(tmp_path / "r80.hea", "w") as f:
+        f.write("r80 3 250 40\n")
+        for i in range(3):
+            f.write(f"r80.dat 80 100/mV 8 0 0 0 0 s{i}\n")
+    (adc8 + 128).astype(np.uint8).tofile(tmp_path / "r80.dat")
+    sig, fields = wfdb_io.rdsamp(str(tmp_path / "r80"))
+    assert fields["fs"] == 250
+    np.testing.assert_allclose(sig, adc8 / 100.0)
+    # fmt 32
+    adc32 = rng.integers(-(2**20), 2**20, size=(16, 2)).astype(np.int32)
+    with open(tmp_path / "r32.hea", "w") as f:
+        f.write("r32 2 500 16\n")
+        for i in range(2):
+            f.write(f"r32.dat 32 1000(5)/uV 32 0 0 0 0 c{i}\n")
+    adc32.astype("<i4").tofile(tmp_path / "r32.dat")
+    sig, _ = wfdb_io.rdsamp(str(tmp_path / "r32"))
+    np.testing.assert_allclose(sig, (adc32 - 5) / 1000.0)
+
+
+def test_wfdb_unsupported_format_raises(tmp_path):
+    with open(tmp_path / "rx.hea", "w") as f:
+        f.write("rx 1 500 4\n")
+        f.write("rx.dat 24 200/mV 24 0 0 0 0 s0\n")
+    with open(tmp_path / "rx.dat", "wb") as f:
+        f.write(b"\x00" * 12)
+    with pytest.raises(NotImplementedError):
+        wfdb_io.rdsamp(str(tmp_path / "rx"))
