@@ -34,6 +34,36 @@ import numpy as np
 from ecg_byte_tpu.ops.wavelet import wavelet_denoise
 
 
+def _disk_cached(name: str, key: tuple, build):
+    """Memoize an operator matrix on disk — scipy pushes a full identity
+    through filtfilt/interp1d to build it (minutes of one-core time for
+    n=5000), while the matrix itself is a pure function of the key."""
+    import hashlib
+    import os
+    import tempfile
+
+    cache_dir = os.environ.get(
+        "ECG_BYTE_TPU_OP_CACHE",
+        os.path.join(tempfile.gettempdir(), "ecg_byte_tpu_op_cache"),
+    )
+    digest = hashlib.sha1(repr((name,) + key).encode()).hexdigest()[:16]
+    path = os.path.join(cache_dir, f"{name}_{digest}.npy")
+    if os.path.exists(path):
+        try:
+            return np.load(path)
+        except Exception:
+            pass
+    op = build()
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        np.save(tmp, op)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is best-effort
+    return op
+
+
 @functools.lru_cache(maxsize=8)
 def filtfilt_operator(
     n: int,
@@ -50,18 +80,22 @@ def filtfilt_operator(
     parameters) over an identity matrix in float64, so padding/initial-state
     semantics are exactly scipy's.
     """
-    from scipy import signal as sps
+    def build():
+        from scipy import signal as sps
 
-    T = np.eye(n, dtype=np.float64)
-    for f0 in notch_freqs:
-        b, a = sps.iirnotch(f0, 30.0, fs)
+        T = np.eye(n, dtype=np.float64)
+        for f0 in notch_freqs:
+            b, a = sps.iirnotch(f0, 30.0, fs)
+            T = sps.filtfilt(b, a, T, axis=0)
+        nyq = 0.5 * fs
+        b, a = sps.butter(order, [lowcut / nyq, highcut / nyq], btype="band")
         T = sps.filtfilt(b, a, T, axis=0)
-    nyq = 0.5 * fs
-    b, a = sps.butter(order, [lowcut / nyq, highcut / nyq], btype="band")
-    T = sps.filtfilt(b, a, T, axis=0)
-    b, a = sps.butter(order, baseline_cutoff / nyq, btype="high")
-    T = sps.filtfilt(b, a, T, axis=0)
-    return np.ascontiguousarray(T, dtype=np.float32)
+        b, a = sps.butter(order, baseline_cutoff / nyq, btype="high")
+        T = sps.filtfilt(b, a, T, axis=0)
+        return np.ascontiguousarray(T, dtype=np.float32)
+
+    key = (n, fs, notch_freqs, highcut, lowcut, baseline_cutoff, order)
+    return _disk_cached("filtfilt", key, build)
 
 
 @functools.lru_cache(maxsize=8)
@@ -69,21 +103,24 @@ def resample_operator(n: int, orig_fs: float, target_fs: float) -> np.ndarray:
     """[m, n] float32 cubic-interpolation operator (reference ``nsample_ecg``,
     preprocess_utils.py:88-98: scipy ``interp1d(kind='cubic')`` on matched
     endpoint-inclusive grids)."""
-    from scipy import interpolate
+    def build():
+        from scipy import interpolate
 
-    duration = n / orig_fs
-    t_orig = np.linspace(0, duration, n, endpoint=True)
-    m = int(n * target_fs / orig_fs)
-    t_target = np.linspace(0, duration, m, endpoint=True)
-    f = interpolate.interp1d(
-        t_orig,
-        np.eye(n, dtype=np.float64),
-        kind="cubic",
-        axis=0,
-        bounds_error=False,
-        fill_value="extrapolate",
-    )
-    return np.ascontiguousarray(f(t_target), dtype=np.float32)
+        duration = n / orig_fs
+        t_orig = np.linspace(0, duration, n, endpoint=True)
+        m = int(n * target_fs / orig_fs)
+        t_target = np.linspace(0, duration, m, endpoint=True)
+        f = interpolate.interp1d(
+            t_orig,
+            np.eye(n, dtype=np.float64),
+            kind="cubic",
+            axis=0,
+            bounds_error=False,
+            fill_value="extrapolate",
+        )
+        return np.ascontiguousarray(f(t_target), dtype=np.float32)
+
+    return _disk_cached("resample", (n, orig_fs, target_fs), build)
 
 
 def apply_operator(x: jax.Array, op) -> jax.Array:
