@@ -343,8 +343,12 @@ def forward(
     dropout_rng: Optional[jax.Array] = None,
     return_attentions: bool = False,
     remat: bool = True,
+    return_hidden: bool = False,
 ):
     """Causal LM forward pass -> float32 logits (B, S, V).
+
+    ``return_hidden=True`` returns the pre-final-norm hidden states
+    instead of logits (for :func:`chunked_lm_loss`).
 
     ``attn_mask``: (B, S) 1/0 validity (pads are 0, data_loader.py:22-23).
     ``position_ids``: (B, S); defaults to the reference's cumsum convention.
@@ -387,6 +391,8 @@ def forward(
         return h, None
 
     h, _ = _scan_layers(c, h, params, lora, layer_step, remat=remat)
+    if return_hidden:
+        return h
     return _unembed(params, c, h)
 
 
@@ -399,6 +405,75 @@ def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
     token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     total = jnp.sum(jnp.where(valid, -token_ll, 0.0))
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return total / count
+
+
+def chunked_lm_loss(
+    params: Params,
+    config: TransformerConfig,
+    hidden: jax.Array,
+    labels: jax.Array,
+    chunk: int = 8192,
+) -> jax.Array:
+    """Cross-entropy without materializing the (B, S, V) logits.
+
+    The unembed of a 132k-token vocabulary dominates training memory: at
+    batch 8 x 1024 the f32 logits plus their softmax intermediates are
+    >8 GB.  This computes the same loss from the final hidden states by
+    scanning vocab tiles — per tile one (B*S, D) @ (D, chunk) matmul, a
+    running online logsumexp, and the label logit picked by an in-range
+    mask — so peak memory is O(B*S*chunk).  Numerically identical to
+    ``causal_lm_loss(_unembed(h), labels)`` up to f32 logsumexp rounding
+    (parity-tested).
+
+    ``hidden``: (B, S, D) pre-final-norm hidden states (as ``forward``
+    produces before ``_unembed``).
+    """
+    c = config
+    hn = _norm(hidden, params["final_norm"], params.get("final_norm_bias"), c)
+    head = params["embed"].T if c.tie_word_embeddings else params["lm_head"]
+    v = head.shape[1]
+    n_chunks = -(-v // chunk)
+    v_pad = n_chunks * chunk
+    head = jnp.pad(head, ((0, 0), (0, v_pad - v)))
+
+    b, s, d = hn.shape
+    h2 = hn[:, :-1].reshape(-1, d)  # (M, D) shifted hidden rows
+    shift_labels = labels[:, 1:].reshape(-1)
+    valid = shift_labels != -100
+    safe = jnp.where(valid, shift_labels, 0)
+
+    head_tiles = head.reshape(d, n_chunks, chunk).transpose(1, 0, 2)
+
+    def tile_step(carry, head_tile):
+        m_run, l_run, lab_run, idx = carry
+        logits = (h2 @ head_tile).astype(jnp.float32)  # (M, chunk)
+        # mask vocab padding in the final tile
+        col = idx * chunk + jnp.arange(chunk)[None, :]
+        logits = jnp.where(col < v, logits, -jnp.inf)
+        m_new = jnp.maximum(m_run, jnp.max(logits, axis=-1))
+        l_run = l_run * jnp.exp(m_run - m_new) + jnp.sum(
+            jnp.exp(logits - m_new[:, None]), axis=-1
+        )
+        # label logit if it falls inside this tile
+        local = safe - idx * chunk
+        in_tile = (local >= 0) & (local < chunk)
+        picked = jnp.take_along_axis(
+            logits, jnp.clip(local, 0, chunk - 1)[:, None], axis=-1
+        )[:, 0]
+        lab_run = jnp.where(in_tile, picked, lab_run)
+        return (m_new, l_run, lab_run, idx + 1), None
+
+    m0 = jnp.full((h2.shape[0],), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((h2.shape[0],), jnp.float32)
+    lab0 = jnp.zeros((h2.shape[0],), jnp.float32)
+    (m_fin, l_fin, lab_fin, _), _ = jax.lax.scan(
+        jax.checkpoint(tile_step), (m0, l0, lab0, jnp.int32(0)), head_tiles
+    )
+    logz = m_fin + jnp.log(l_fin)
+    nll = logz - lab_fin
+    total = jnp.sum(jnp.where(valid, nll, 0.0))
     count = jnp.maximum(jnp.sum(valid), 1)
     return total / count
 

@@ -75,11 +75,11 @@ def create_train_state(
 
 
 def _loss_from_batch(config, params, lora, batch, dropout_rng, mesh,
-                     remat=True):
+                     remat=True, chunked_loss=False):
     input_ids = batch["input_ids"]
     if mesh is not None:
         input_ids = shd.constrain(input_ids, mesh, shd.batch_spec())
-    logits = tfm.forward(
+    out = tfm.forward(
         params,
         config,
         input_ids,
@@ -88,8 +88,11 @@ def _loss_from_batch(config, params, lora, batch, dropout_rng, mesh,
         lora=lora,
         dropout_rng=dropout_rng,
         remat=remat,
+        return_hidden=chunked_loss,
     )
-    return tfm.causal_lm_loss(logits, batch["labels"])
+    if chunked_loss:
+        return tfm.chunked_lm_loss(params, config, out, batch["labels"])
+    return tfm.causal_lm_loss(out, batch["labels"])
 
 
 def make_train_step(
@@ -98,13 +101,16 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     *,
     remat: bool = True,
+    chunked_loss: bool = False,
 ) -> Callable:
     """Build the jitted ``(state, batch, rng) -> (state, loss)`` step.
 
     ``remat=False`` keeps per-layer activations for the backward pass
     instead of recomputing them — worth ~25% step time when the batch
-    fits HBM without rematerialization (the 1B flagship at batch <= 4 x
-    1024 does on a 16 GB chip)."""
+    fits HBM without rematerialization.  ``chunked_loss=True`` computes
+    the cross entropy from hidden states in vocab tiles
+    (models/transformer.chunked_lm_loss) instead of materializing the
+    (B, S, V) logits — the memory hog for 132k-vocab training."""
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -115,7 +121,8 @@ def make_train_step(
             else:
                 params, lora = trainable, None
             return _loss_from_batch(
-                config, params, lora, batch, dropout_rng, mesh, remat=remat
+                config, params, lora, batch, dropout_rng, mesh, remat=remat,
+                chunked_loss=chunked_loss,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.trainable)

@@ -199,3 +199,28 @@ def test_attentions_path(model):
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(logits2), atol=2e-4
     )
+
+
+def test_chunked_lm_loss_matches_dense():
+    """Vocab-tiled loss == dense loss (value and trainable grads)."""
+    config = tiny_test_config("llama", vocab_size=300)
+    params = T.init_params(config, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 300, (2, 24)), jnp.int32)
+    labels = jnp.where(jnp.asarray(rng.random((2, 24)) < 0.3), -100, ids)
+
+    def dense(p):
+        return T.causal_lm_loss(T.forward(p, config, ids, remat=False), labels)
+
+    def chunked(p):
+        h = T.forward(p, config, ids, remat=False, return_hidden=True)
+        return T.chunked_lm_loss(p, config, h, labels, chunk=128)
+
+    ld, gd = jax.value_and_grad(dense)(params)
+    lc, gc = jax.value_and_grad(chunked)(params)
+    np.testing.assert_allclose(float(ld), float(lc), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gc)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
