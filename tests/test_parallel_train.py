@@ -179,3 +179,25 @@ def test_tp_sharded_greedy_decode():
             eos_token_id=-1, pad_token_id=0,
         ))
     np.testing.assert_array_equal(got, want)
+
+
+def test_chunked_loss_step_matches_dense():
+    """make_train_step(chunked_loss=True) reproduces the dense-loss step."""
+    config = tiny_test_config("llama", vocab_size=256)
+    opt = make_optimizer(config.hidden_size, warmup_steps=10)
+    rng = np.random.default_rng(0)
+    ids = np.asarray(rng.integers(0, 256, (4, 32)), np.int32)
+    batch = {"input_ids": ids, "attn_mask": np.ones((4, 32), np.int32),
+             "labels": ids}
+    key = jax.random.PRNGKey(0)
+
+    losses = {}
+    for chunked in (False, True):
+        state = create_train_state(
+            config, opt, jax.random.PRNGKey(1), peft=True
+        )
+        step = make_train_step(config, opt, None, chunked_loss=chunked)
+        for _ in range(3):
+            state, loss = step(state, batch, key)
+        losses[chunked] = float(loss)
+    np.testing.assert_allclose(losses[False], losses[True], rtol=2e-4)
