@@ -21,6 +21,7 @@ import optax
 from tqdm import tqdm
 
 from ecg_byte_tpu.cli.common import build_model, set_seed
+from ecg_byte_tpu.cli.dist import make_data_mesh, shard_batch
 from ecg_byte_tpu.data.loader import DataLoader
 from ecg_byte_tpu.data.two_stage import ECGCLIPFinetune, TwoStageConfig
 from ecg_byte_tpu.infer.evaluate import tester
@@ -164,6 +165,7 @@ def main():
         f"{args.pad_to_max}_{args.toy}"
     )
 
+    mesh = make_data_mesh() if args.dis else None
     rng = jax.random.PRNGKey(args.seed)
     split = args.dataset
     probe_dir = f"{args.data_root}/{split}/ecg/train"
@@ -306,9 +308,12 @@ def main():
             for batch in tqdm(train_loader, desc=f"Training {args.model}", leave=True):
                 if batch is None:
                     continue
+                db = to_device_batch(batch)
+                if mesh is not None:
+                    db = shard_batch(db, mesh)
                 step_rng, sub = jax.random.split(step_rng)
                 trainable, opt_state, loss = train_step(
-                    trainable, opt_state, to_device_batch(batch), sub
+                    trainable, opt_state, db, sub
                 )
                 total += float(loss)
                 n += 1
@@ -321,7 +326,10 @@ def main():
             for batch in tqdm(val_loader, desc=f"Validating {args.model}", leave=True):
                 if batch is None:
                     continue
-                total += float(eval_step(trainable, to_device_batch(batch)))
+                db = to_device_batch(batch)
+                if mesh is not None:
+                    db = shard_batch(db, mesh)
+                total += float(eval_step(trainable, db))
                 n += 1
                 if args.dev and n >= 10:
                     break

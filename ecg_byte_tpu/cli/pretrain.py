@@ -19,6 +19,7 @@ import optax
 from tqdm import tqdm
 
 from ecg_byte_tpu.cli.common import set_seed
+from ecg_byte_tpu.cli.dist import make_data_mesh, shard_batch
 from ecg_byte_tpu.data.loader import DataLoader
 from ecg_byte_tpu.data.text_tokenizer import ByteTextTokenizer
 from ecg_byte_tpu.data.two_stage import ECGCLIPPretrain, TwoStageConfig
@@ -174,6 +175,7 @@ def main():
     probe = np.load(train_signals[0])
     args.signal_len = probe.shape[-1]
 
+    mesh = make_data_mesh() if args.dis else None
     rng = jax.random.PRNGKey(args.seed)
     trainable, static, loss_fn, hidden = build_backbone(args, rng)
 
@@ -222,6 +224,8 @@ def main():
                          if k not in ("resnet_input_ids", "resnet_att_mask")}
             batch = {k: jnp.asarray(v) for k, v in batch.items()
                      if not isinstance(v, list)}
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
             step_rng, sub = jax.random.split(step_rng)
             trainable, opt_state, static, loss = train_step(
                 trainable, opt_state, static, batch, sub

@@ -84,3 +84,19 @@ def test_finetune_train_and_inference(workdir):
         open(workdir / "runs/0" / stage2[0] / "seed_42_results_ptb_500.json")
     )
     assert "averages" in res
+
+
+def test_pretrain_resnet_data_parallel(workdir):
+    """--dis shards the batch over a dp mesh (8 virtual CPU devices)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    r = subprocess.run(
+        [sys.executable, "-m", "ecg_byte_tpu.cli.pretrain", "--model", "resnet",
+         "--dataset", "ptb_500", "--batch_size", "8", "--dev", "--tiny",
+         "--image_size", "32", "--seed", "3", "--dis", "--epochs", "1"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, f"{r.stdout[-1500:]}\n{r.stderr[-1500:]}"
+    assert "Model saved" in r.stdout
