@@ -367,24 +367,35 @@ def preprocess_ptb(
     db.scp_codes = db.scp_codes.apply(ast.literal_eval)
     agg_df = pd.read_csv(os.path.join(ptb_folder, "scp_statements.csv"), index_col=0)
 
+    # the reference caches FILTERED records time-major (N, 2500, 12) as
+    # raw500.npy (preprocess_utils.py:509-516: rdsamp -> filter/denoise/
+    # resample -> pickle); keep that format so caches interoperate
     cache = os.path.join(ptb_folder, "raw500.npy")
     if os.path.exists(cache):
-        data = np.load(cache, allow_pickle=True)
+        filtered = np.load(cache, allow_pickle=True)
     else:
         sigs = []
         for fname in db.filename_hr:
             sig, _fields = wfdb_io.rdsamp(os.path.join(ptb_folder, fname))
             sigs.append(sig.astype(np.float32))
         raw = np.stack(sigs)  # (N, 5000, 12)
+        from ecg_byte_tpu.ops import dsp
+
         chunks = []
         for start in range(0, len(raw), args.batch_size):
-            chunks.append(
-                preprocess_signal_batch(raw[start : start + args.batch_size], args)
-            )
-        # (N, n_seg, 12, seg) -> time-major records for the reference layout
-        data = np.concatenate(chunks)
+            x = np.transpose(raw[start : start + args.batch_size], (0, 2, 1))
+            y = dsp.preprocess_records(x, fs=500.0, target_fs=250.0)
+            chunks.append(np.transpose(np.asarray(y), (0, 2, 1)))
+        filtered = np.concatenate(chunks)  # (N, 2500, 12)
         with open(cache, "wb") as f:
-            pickle.dump(data, f, protocol=4)
+            pickle.dump(filtered, f, protocol=4)
+
+    # (N, time, 12) -> (N, n_seg, 12, seg_len)
+    from ecg_byte_tpu.ops import dsp as _dsp
+
+    data = np.asarray(
+        _dsp.segment_ecg(np.transpose(filtered, (0, 2, 1)), args.seg_len)
+    )
 
     agg = compute_label_aggregations(list(db.scp_codes), agg_df, task)
     out_root = os.path.join(args.data_root, f"{args.data}_{args.seg_len}")
