@@ -85,6 +85,21 @@ def build_model(
     return params, config, tokenizer
 
 
+def make_log_fn(args):
+    """wandb logger gated on --log (reference project 'bpe-trans',
+    main.py:96-98); returns None offline or when wandb is absent."""
+    if not getattr(args, "log", False):
+        return None
+    try:
+        import wandb
+
+        wandb.init(project="bpe-trans", config=vars(args))
+        return wandb.log
+    except Exception as e:  # wandb missing or no egress
+        print(f"--log disabled ({e})")
+        return None
+
+
 def make_run_dir(args) -> str:
     """Reference run-directory fingerprint (main.py:99): runs/<seed>/<cfg>."""
     cfg = (

@@ -20,7 +20,7 @@ import numpy as np
 import optax
 from tqdm import tqdm
 
-from ecg_byte_tpu.cli.common import build_model, set_seed
+from ecg_byte_tpu.cli.common import build_model, make_log_fn, set_seed
 from ecg_byte_tpu.cli.dist import make_data_mesh, shard_batch
 from ecg_byte_tpu.data.loader import DataLoader
 from ecg_byte_tpu.data.two_stage import ECGCLIPFinetune, TwoStageConfig
@@ -298,6 +298,7 @@ def main():
                             pad_id=pad_id)
 
     ensure_directory_exists(directory_path)
+    log_fn = make_log_fn(args)
     opt_state = optimizer.init(trainable)
     step_rng = jax.random.PRNGKey(args.seed + 3)
     train_loss, val_loss = [], []
@@ -320,6 +321,8 @@ def main():
                 if args.dev and n >= 10:
                     break
             train_loss.append(total / max(n, 1))
+            if log_fn:
+                log_fn({"train_epoch_loss": train_loss[-1], "epoch": epoch})
             print(f"Training - Epoch: {epoch+1}\nTrain Loss: {train_loss[-1]}")
 
             total, n = 0.0, 0
@@ -334,6 +337,8 @@ def main():
                 if args.dev and n >= 10:
                     break
             val_loss.append(total / max(n, 1))
+            if log_fn:
+                log_fn({"val_epoch_loss": val_loss[-1], "epoch": epoch})
             print(f"Validating - Epoch: {epoch+1}\nVal Loss: {val_loss[-1]}")
 
             if early_stopping(val_loss, patience=args.patience, delta=0.01):

@@ -21,7 +21,7 @@ import os
 import jax
 import numpy as np
 
-from ecg_byte_tpu.cli.common import build_model, make_run_dir, set_seed
+from ecg_byte_tpu.cli.common import build_model, make_log_fn, make_run_dir, set_seed
 from ecg_byte_tpu.data import DataConfig, DataLoader, ECGTokenDataset
 from ecg_byte_tpu.infer import greedy_generate
 from ecg_byte_tpu.infer.evaluate import tester
@@ -103,19 +103,6 @@ def _mesh_from_args(args):
     tp, fsdp = args.tp, args.fsdp
     dp = max(1, n // (tp * fsdp))
     return make_mesh(dp=dp, fsdp=fsdp, tp=tp)
-
-
-def _log_fn(args):
-    if not args.log:
-        return None
-    try:
-        import wandb
-
-        wandb.init(project="bpe-trans", config=vars(args))
-        return wandb.log
-    except ImportError:
-        print("wandb not installed; --log disabled")
-        return None
 
 
 def _install_sigterm_handler():
@@ -283,7 +270,7 @@ def main():
     with mesh:
         step_fn = make_train_step(config, optimizer, mesh if args.dis else None)
         eval_fn = make_eval_step(config, mesh if args.dis else None)
-        log_fn = _log_fn(args)
+        log_fn = make_log_fn(args)
         ensure_directory_exists(directory_path)
         rng = jax.random.PRNGKey(args.seed)
 

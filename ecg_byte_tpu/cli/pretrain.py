@@ -18,7 +18,7 @@ import numpy as np
 import optax
 from tqdm import tqdm
 
-from ecg_byte_tpu.cli.common import set_seed
+from ecg_byte_tpu.cli.common import make_log_fn, set_seed
 from ecg_byte_tpu.cli.dist import make_data_mesh, shard_batch
 from ecg_byte_tpu.data.loader import DataLoader
 from ecg_byte_tpu.data.text_tokenizer import ByteTextTokenizer
@@ -207,6 +207,7 @@ def main():
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         return optax.apply_updates(trainable, updates), opt_state, new_static, loss
 
+    log_fn = make_log_fn(args)
     step_rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.epochs):
         training_loader.set_epoch(epoch)
@@ -232,9 +233,13 @@ def main():
             )
             total += float(loss)
             n += 1
+            if log_fn:
+                log_fn({"train_step_loss": float(loss)})
             if args.dev and n >= 10:
                 break
         avg = total / max(n, 1)
+        if log_fn:
+            log_fn({"train_epoch_loss": avg, "epoch": epoch})
         print(f"Training - Epoch: {epoch+1}\nTrain Loss: {avg}")
         save_checkpoint(
             directory_path, "best_model",
