@@ -58,13 +58,17 @@ class PallasMatcher(NamedTuple):
     width: padded window width (multiple of 4, >= longest token).
     filt: int8 (3*width, T) — [-2*t_j | 16*ind_j | ind_j] rows.
     cadd: int32 (1, T) — sum_j t_j^2 (sentinel for padded columns).
-    wpack: int32 (1, T) — len * _PACK + id.
+    digits: int8 (T, 2*n_lengths) — token id split into base-128 digits in
+      its length's column pair (the id-matmul epilogue contracts the hit
+      mask against this on the MXU).
+    lengths: static tuple of the distinct token lengths, ascending.
     """
 
     width: int
     filt: jax.Array
     cadd: jax.Array
-    wpack: jax.Array
+    digits: jax.Array
+    lengths: Tuple[int, ...]
     max_len: int
 
 
@@ -100,21 +104,26 @@ def build_pallas_matcher(
 
     t = len(by_seq)
     t_pad = max(256, -(-t // 256) * 256)
+    lengths = tuple(sorted({len(s) for s in by_seq} or {2}))
+    len_col = {L: i for i, L in enumerate(lengths)}
     filt = np.zeros((3 * width, t_pad), np.int8)
     cadd = np.full((1, t_pad), _SENTINEL_C, np.int32)
-    wpack = np.zeros((1, t_pad), np.int32)
+    digits = np.zeros((t_pad, 2 * len(lengths)), np.int8)
     for col, (symbols, token_id) in enumerate(by_seq.items()):
         for j, s in enumerate(symbols):
             filt[j, col] = -2 * s
             filt[width + j, col] = 16
             filt[2 * width + j, col] = 1
         cadd[0, col] = sum(s * s for s in symbols)
-        wpack[0, col] = len(symbols) * _PACK + token_id
+        li = len_col[len(symbols)]
+        digits[col, 2 * li] = token_id // 128  # ids < 8192 -> digit < 64
+        digits[col, 2 * li + 1] = token_id % 128
     return PallasMatcher(
         width=width,
         filt=jnp.asarray(filt),
         cadd=jnp.asarray(cadd),
-        wpack=jnp.asarray(wpack),
+        digits=jnp.asarray(digits),
+        lengths=lengths,
         max_len=max_len,
     )
 
@@ -123,8 +132,9 @@ def build_pallas_matcher(
 # Match kernel
 
 
-def _match_kernel(q_ref, qh_ref, filt_ref, cadd_ref, wpack_ref, out_ref, *,
-                  width: int, tile_n: int, tile_b: int, strip: int):
+def _match_kernel(q_ref, qh_ref, filt_ref, cadd_ref, dig_ref, out_ref, *,
+                  width: int, tile_n: int, tile_b: int, strip: int,
+                  lengths: Tuple[int, ...]):
     halo = 128  # fixed halo keeps lane counts 128-aligned (width <= 128)
     sym = jnp.concatenate(
         [q_ref[:], qh_ref[:, :halo]], axis=1
@@ -153,26 +163,38 @@ def _match_kernel(q_ref, qh_ref, filt_ref, cadd_ref, wpack_ref, out_ref, *,
     # values <= 42 are int8-exact
     windows = stacked.astype(jnp.int8).reshape(m_rows, 3 * width)
 
-    t_total = wpack_ref.shape[1]
+    t_total = cadd_ref.shape[1]
     strip = min(strip, t_total)
-    best = None
+    acc = None
     for t0 in range(0, t_total, strip):
         core = jax.lax.dot_general(
             windows, filt_ref[:, t0 : t0 + strip], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (M, strip) int32 — lives and dies in VMEM
-        miss = jnp.minimum(core + cadd_ref[:, t0 : t0 + strip], 1)  # 0 iff hit
-        value = wpack_ref[:, t0 : t0 + strip] - miss * _MISS
-        m = jnp.max(value, axis=1, keepdims=True)  # (M, 1)
-        best = m if best is None else jnp.maximum(best, m)
+        hit = (core + cadd_ref[:, t0 : t0 + strip] == 0).astype(jnp.int8)
+        # id-matmul epilogue: contract the hit mask against per-length id
+        # digits on the MXU — at most one token of a given length matches
+        # a position, so the sums reproduce the digits exactly
+        part = jax.lax.dot_general(
+            hit, dig_ref[t0 : t0 + strip, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (M, 2*n_lengths)
+        acc = part if acc is None else acc + part
 
-    flat = jnp.transpose(best)  # ONE (M,1)->(1,M) relayout
+    packed = None
+    for li, L in enumerate(lengths):
+        hi = jax.lax.slice_in_dim(acc, 2 * li, 2 * li + 1, axis=1)
+        lo = jax.lax.slice_in_dim(acc, 2 * li + 1, 2 * li + 2, axis=1)
+        id_l = hi * 128 + lo  # (M, 1); merge ids are >= 256, so 0 = no hit
+        val = jnp.where(id_l > 0, L * _PACK + id_l, 0)
+        packed = val if packed is None else jnp.maximum(packed, val)
+
+    flat = jnp.transpose(packed)  # ONE (M,1)->(1,M) relayout
     rows = [
         jax.lax.slice_in_dim(flat, b * tile_n, (b + 1) * tile_n, axis=1)
         for b in range(tile_b)
     ]
-    packed = jnp.concatenate(rows, axis=0)  # (TB, TN)
-    out_ref[:] = jnp.maximum(packed, 0)  # negative = no match
+    out_ref[:] = jnp.concatenate(rows, axis=0)  # (TB, TN)
 
 
 def longest_match(q, matcher: PallasMatcher, *, tile_n: int = 512,
@@ -191,7 +213,7 @@ def longest_match(q, matcher: PallasMatcher, *, tile_n: int = 512,
 
     kernel = functools.partial(
         _match_kernel, width=matcher.width, tile_n=tile_n, tile_b=tile_b,
-        strip=strip,
+        strip=strip, lengths=matcher.lengths,
     )
     packed = pl.pallas_call(
         kernel,
@@ -202,14 +224,14 @@ def longest_match(q, matcher: PallasMatcher, *, tile_n: int = 512,
             pl.BlockSpec((tile_b, tile_n), lambda bi, i: (bi, i + 1)),
             pl.BlockSpec(matcher.filt.shape, lambda bi, i: (0, 0)),
             pl.BlockSpec(matcher.cadd.shape, lambda bi, i: (0, 0)),
-            pl.BlockSpec(matcher.wpack.shape, lambda bi, i: (0, 0)),
+            pl.BlockSpec(matcher.digits.shape, lambda bi, i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((tile_b, tile_n), lambda bi, i: (bi, i)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,  # v5e has 128 MB VMEM
         ),
         interpret=interpret,
-    )(q_padded, q_padded, matcher.filt, matcher.cadd, matcher.wpack)
+    )(q_padded, q_padded, matcher.filt, matcher.cadd, matcher.digits)
 
     packed = packed[:b, :n]
     match_tok = jnp.where(packed > 0, packed % _PACK, q + _BYTE_A)
@@ -283,14 +305,17 @@ def greedy_chain(match_len, *, tile_rows: int = 2048, interpret: bool = False):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "max_len", "tile_n", "strip", "interpret"),
+    static_argnames=(
+        "width", "max_len", "lengths", "tile_n", "strip", "interpret"
+    ),
 )
-def _encode_impl(q, filt, cadd, wpack, width, max_len, tile_n, strip,
-                 interpret):
+def _encode_impl(q, filt, cadd, digits, width, max_len, lengths, tile_n,
+                 strip, interpret):
     from ecg_byte_tpu.ops.bpe_encode import _compact
 
     matcher = PallasMatcher(
-        width=width, filt=filt, cadd=cadd, wpack=wpack, max_len=max_len
+        width=width, filt=filt, cadd=cadd, digits=digits, lengths=lengths,
+        max_len=max_len,
     )
     squeeze = q.ndim == 1
     if squeeze:
@@ -314,6 +339,6 @@ def encode(q, matcher: PallasMatcher, *, tile_n: int = 512, strip: int = 512,
     """
     q = jnp.asarray(q)
     return _encode_impl(
-        q, matcher.filt, matcher.cadd, matcher.wpack, matcher.width,
-        matcher.max_len, tile_n, strip, interpret
+        q, matcher.filt, matcher.cadd, matcher.digits, matcher.width,
+        matcher.max_len, matcher.lengths, tile_n, strip, interpret
     )
