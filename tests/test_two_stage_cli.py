@@ -100,3 +100,13 @@ def test_pretrain_resnet_data_parallel(workdir):
     )
     assert r.returncode == 0, f"{r.stdout[-1500:]}\n{r.stderr[-1500:]}"
     assert "Model saved" in r.stdout
+
+
+def test_pretrain_clip_vit(workdir):
+    out = _run(
+        ["ecg_byte_tpu.cli.pretrain", "--model", "clip_vit", "--dataset",
+         "ptb_500", "--batch_size", "4", "--dev", "--tiny",
+         "--image_size", "32", "--seed", "5"],
+        cwd=workdir,
+    )
+    assert "Model saved" in out
