@@ -117,21 +117,39 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         _END, _ERR = object(), object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # Bounded put that notices consumer abandonment: without the
+            # stop check an early `break` in the consumer would leave this
+            # thread blocked on q.put forever (one leaked thread +
+            # prefetch_depth buffered batches per abandoned epoch).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in self._batches():
-                    q.put(b)
-                q.put(_END)
+                    if not put(b):
+                        return
+                put(_END)
             except BaseException as e:  # surface worker errors to the consumer
-                q.put((_ERR, e))
+                put((_ERR, e))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
-                raise item[1]
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()

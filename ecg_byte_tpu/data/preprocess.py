@@ -107,14 +107,20 @@ def preprocess_signal_batch(
 
 
 def iter_preprocessed(
-    instances: Sequence[Dict], args: PreprocessArgs
+    instances: Sequence[Dict], args: PreprocessArgs,
+    stats: Optional[Dict[str, int]] = None,
 ) -> Iterator[Tuple[int, np.ndarray, object]]:
     """Yield (original_index, (n_seg, 12, seg_len) segments, conversation)
-    per valid instance; invalid instances are counted via ``.skipped``."""
+    per valid instance.  Pass a mutable ``stats`` dict to observe the skip
+    count: ``stats["skipped"]`` is updated incrementally, so it is correct
+    even for partially consumed or concurrent iterations (a function
+    attribute would go stale across interleaved calls)."""
     batch_idx: List[int] = []
     batch_sig: List[np.ndarray] = []
     batch_conv: List[object] = []
-    skipped = 0
+    if stats is None:
+        stats = {}
+    stats["skipped"] = 0
 
     def flush():
         if not batch_idx:
@@ -131,7 +137,7 @@ def iter_preprocessed(
     for i, instance in enumerate(instances):
         sig, conv = load_instance_signal(instance, args)
         if sig is None:
-            skipped += 1
+            stats["skipped"] += 1
             continue
         batch_idx.append(i)
         batch_sig.append(sig)
@@ -139,7 +145,6 @@ def iter_preprocessed(
         if len(batch_idx) >= args.batch_size:
             yield from flush()
     yield from flush()
-    iter_preprocessed.skipped = skipped  # type: ignore[attr-defined]
 
 
 def compute_global_stats(
@@ -153,7 +158,8 @@ def compute_global_stats(
     n_valid = 0
     rng = np.random.default_rng(0)
 
-    gen = iter_preprocessed(instances, args)
+    skip_stats: Dict[str, int] = {}
+    gen = iter_preprocessed(instances, args, stats=skip_stats)
     for _idx, segs, _conv in gen:
         n_valid += 1
         for seg in segs:
@@ -164,7 +170,7 @@ def compute_global_stats(
                 pick = rng.choice(seg.size, take, replace=False)
                 samples.append(np.asarray(seg).reshape(-1)[pick])
                 collected += take
-    skipped = getattr(iter_preprocessed, "skipped", 0)
+    skipped = skip_stats.get("skipped", 0)
     flat = np.concatenate(samples) if samples else np.zeros(1)
     stats = {
         "global_min": float(global_min) if n_valid else 0.0,
@@ -186,7 +192,8 @@ def process_and_save_split(
     os.makedirs(os.path.join(root, "ecg", split_name), exist_ok=True)
     os.makedirs(os.path.join(root, "text", split_name), exist_ok=True)
 
-    for idx, segs, conv in iter_preprocessed(instances, args):
+    skip_stats: Dict[str, int] = {}
+    for idx, segs, conv in iter_preprocessed(instances, args, stats=skip_stats):
         for j in range(segs.shape[0]):
             np.save(
                 os.path.join(root, "ecg", split_name, f"ecg_{idx}_{j}.npy"),
@@ -196,8 +203,10 @@ def process_and_save_split(
                 os.path.join(root, "text", split_name, f"text_{idx}_{j}.json"), "w"
             ) as f:
                 json.dump(conv, f)
-    skipped = getattr(iter_preprocessed, "skipped", 0)
-    print(f"Total instances skipped in {split_name} split: {skipped}")
+    print(
+        f"Total instances skipped in {split_name} split: "
+        f"{skip_stats.get('skipped', 0)}"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -71,7 +71,15 @@ def read_header(header_path: str):
     for ln in lines[1 : 1 + n_sig]:
         parts = ln.split()
         file_name = parts[0]
-        fmt = parts[1].split("x")[0].split(":")[0].split("+")[0] if len(parts) > 1 else "16"
+        fmt = parts[1] if len(parts) > 1 else "16"
+        if any(c in fmt for c in "x:+"):
+            # samples-per-frame / skew / byte-offset modifiers change the
+            # .dat interleaving; decoding as spf=1 would silently misread
+            # multi-frequency records (WFDB header(5) format field).
+            raise NotImplementedError(
+                f"WFDB format modifier in {fmt!r} (samples-per-frame/skew/"
+                "offset) is not supported"
+            )
         gain, baseline, units = _parse_gain_spec(parts[2]) if len(parts) > 2 else (
             _DEFAULT_GAIN, None, "mV"
         )

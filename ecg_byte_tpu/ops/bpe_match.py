@@ -73,15 +73,23 @@ class PallasMatcher(NamedTuple):
 
 
 def build_pallas_matcher(
-    merges: Sequence[Tuple[Sequence[int], int]], max_width: int = 32
+    merges: Sequence[Tuple[Sequence[int], int]], max_width: int = _WINDOW
 ) -> PallasMatcher:
     """Compile reference-format merges into the arithmetic match table.
 
     Same dictionary semantics as ops/bpe_encode.build_matcher (trie
     insert-overwrite, single symbols implicit).  Raises for vocabularies
     the kernel cannot host (token longer than ``max_width`` or id >= 8192)
-    — callers fall back to the conv matcher then.
+    — callers fall back to the conv matcher then.  ``max_width`` is capped
+    at the chain kernel's rolling window (``_WINDOW``): the chain step can
+    never exceed ``_WINDOW`` rows, so admitting longer tokens would produce
+    silently wrong streams rather than a loud fallback.
     """
+    if max_width > _WINDOW:
+        raise ValueError(
+            f"max_width {max_width} exceeds the chain-kernel window "
+            f"{_WINDOW}; longer tokens must use the conv matcher"
+        )
     by_seq = {}
     for seq, token_id in merges:
         symbols = tuple(int(b) - _BYTE_A for b in seq)

@@ -62,6 +62,18 @@ def test_longest_match_matches_conv(toy):
     np.testing.assert_array_equal(np.asarray(mt_p), np.asarray(mt_c))
 
 
+def test_long_tokens_fail_loudly():
+    # The chain kernel's rolling window is _WINDOW rows: a vocabulary with a
+    # longer token must be rejected at build time (callers then fall back to
+    # the conv matcher) rather than silently producing wrong streams.
+    long_tok = tuple(ord("a") + (i % 26) for i in range(bpe_match._WINDOW + 1))
+    merges = [((ord("a"), ord("b")), 256), (long_tok, 257)]
+    with pytest.raises(ValueError, match="exceeds the kernel window"):
+        bpe_match.build_pallas_matcher(merges)
+    with pytest.raises(ValueError, match="exceeds the chain-kernel window"):
+        bpe_match.build_pallas_matcher(merges, max_width=32)
+
+
 def test_chain_matches_scan(toy):
     merges, q = toy
     cm = bpe_encode.build_matcher(merges)
