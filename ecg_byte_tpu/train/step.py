@@ -75,11 +75,11 @@ def create_train_state(
 
 
 def _loss_from_batch(config, params, lora, batch, dropout_rng, mesh,
-                     remat=True, chunked_loss=False):
+                     remat="dots", chunked_loss=False):
     input_ids = batch["input_ids"]
     if mesh is not None:
         input_ids = shd.constrain(input_ids, mesh, shd.batch_spec())
-    out = tfm.forward(
+    hidden = tfm.forward(
         params,
         config,
         input_ids,
@@ -88,11 +88,11 @@ def _loss_from_batch(config, params, lora, batch, dropout_rng, mesh,
         lora=lora,
         dropout_rng=dropout_rng,
         remat=remat,
-        return_hidden=chunked_loss,
+        return_hidden=True,
     )
     if chunked_loss:
-        return tfm.chunked_lm_loss(params, config, out, batch["labels"])
-    return tfm.causal_lm_loss(out, batch["labels"])
+        return tfm.chunked_lm_loss(params, config, hidden, batch["labels"])
+    return tfm.lm_loss_from_hidden(params, config, hidden, batch["labels"])
 
 
 def make_train_step(
@@ -100,17 +100,20 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     *,
-    remat: bool = True,
+    remat="dots",
     chunked_loss: bool = False,
 ) -> Callable:
     """Build the jitted ``(state, batch, rng) -> (state, loss)`` step.
 
-    ``remat=False`` keeps per-layer activations for the backward pass
-    instead of recomputing them — worth ~25% step time when the batch
-    fits HBM without rematerialization.  ``chunked_loss=True`` computes
-    the cross entropy from hidden states in vocab tiles
-    (models/transformer.chunked_lm_loss) instead of materializing the
-    (B, S, V) logits — the memory hog for 132k-vocab training."""
+    ``remat`` follows :func:`transformer._scan_layers`: ``"dots"``
+    (default) saves matmul outputs and recomputes only attention softmax +
+    elementwise on backward — the fastest mode that fits HBM at training
+    sizes; ``True`` is full per-layer remat (cheapest memory); ``False``
+    saves everything (OOMs at 4x1024 on 16 GB — the scan keeps all f32
+    attention logits).  ``chunked_loss=True`` computes the cross entropy
+    from hidden states in vocab tiles (models/transformer.chunked_lm_loss)
+    instead of materializing the (B, S, V) logits — the memory hog for
+    132k-vocab training."""
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng):
         dropout_rng = jax.random.fold_in(rng, state.step)

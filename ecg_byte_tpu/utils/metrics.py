@@ -121,8 +121,10 @@ def calculate_rouge(references, hypotheses) -> Dict[str, float]:
 
 
 def bertscore_with_mode(references, hypotheses, device=None):
-    """Returns (P/R/F1 dict, mode).  mode is "hf" (real BERTScore) or
-    "zero-fill" (no local scorer model available offline)."""
+    """Returns (P/R/F1 dict, mode).  mode is "hf" (HF evaluate, reference
+    path), "local-bert" (in-repo BERT against the checkpoint named by
+    $ECG_BYTE_BERTSCORE_MODEL — utils/bertscore.py), or "zero-fill" (no
+    scorer available offline)."""
     try:
         from evaluate import load  # optional dep, absent offline
 
@@ -135,12 +137,26 @@ def bertscore_with_mode(references, hypotheses, device=None):
             "hf-f1": results["f1"],
         }, "hf"
     except Exception:
-        n = len(hypotheses)
-        return {
-            "hf-prec": [0.0] * n,
-            "hf-rec": [0.0] * n,
-            "hf-f1": [0.0] * n,
-        }, "zero-fill"
+        pass
+    try:
+        from ecg_byte_tpu.utils.bertscore import local_scorer_from_env
+
+        scorer = local_scorer_from_env()
+        if scorer is not None:
+            results = scorer.score(references, hypotheses)
+            return {
+                "hf-prec": results["precision"],
+                "hf-rec": results["recall"],
+                "hf-f1": results["f1"],
+            }, "local-bert"
+    except Exception as e:
+        print(f"local BERTScore failed ({e}); falling back to zero-fill")
+    n = len(hypotheses)
+    return {
+        "hf-prec": [0.0] * n,
+        "hf-rec": [0.0] * n,
+        "hf-f1": [0.0] * n,
+    }, "zero-fill"
 
 
 def calculate_bertscore(references, hypotheses, device=None) -> Dict[str, List[float]]:

@@ -74,14 +74,19 @@ def test_interpreter_end_to_end(tmp_path):
     params = T.init_params(config, jax.random.PRNGKey(0))
 
     def forward_fn(batch):
-        _, attn = T.forward(
-            params, config,
-            np.asarray(batch["tokenized_signal"], np.int32),
-            np.asarray(batch["attn_mask"], np.int32),
-            np.asarray(batch["position_ids"], np.int32),
-            return_attentions=True,
+        ids = np.asarray(batch["tokenized_signal"], np.int32)
+        mask = np.asarray(batch["attn_mask"], np.int32)
+        pos = np.asarray(batch["position_ids"], np.int32)
+        # streaming layer+head mean must match the eager stack exactly
+        mean = T.mean_attention(params, config, ids, mask, pos)
+        _, stack = T.forward(params, config, ids, mask, pos,
+                             return_attentions=True)
+        np.testing.assert_allclose(
+            np.asarray(mean),
+            np.asarray(stack, np.float32).mean(axis=(0, 2)),
+            atol=2e-6,
         )
-        return attn
+        return mean
 
     results = interpreter(
         forward_fn, loader, tok, bpe.vocab, percentiles,

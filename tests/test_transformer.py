@@ -224,3 +224,70 @@ def test_chunked_lm_loss_matches_dense():
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             atol=2e-2, rtol=2e-2,
         )
+
+
+def test_manual_attention_vjp_matches_autodiff():
+    """The grouped-attention custom VJP (bf16 gradient intermediates) must
+    match XLA autodiff of the same forward within bf16 rounding."""
+    from ecg_byte_tpu.ops.attention import (
+        _grouped_attention, _grouped_probs,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    b, s, kh, g, d = 2, 64, 2, 4, 16
+    qg = jax.random.normal(rng, (b, s, kh, g, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, kh, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, kh, d), jnp.float32)
+    mask = jnp.asarray(np.r_[np.zeros(5), np.ones(s - 5)][None].repeat(b, 0),
+                       jnp.int32)
+
+    def ref(qg, k, v):
+        p = _grouped_probs(qg, k, mask)
+        return jnp.einsum("bkgqs,bskd->bqkgd", p, v).astype(jnp.float32).sum()
+
+    def man(qg, k, v):
+        return _grouped_attention(qg, k, v, mask).astype(jnp.float32).sum()
+
+    # forward identical
+    np.testing.assert_allclose(float(ref(qg, k, v)), float(man(qg, k, v)),
+                               rtol=1e-6)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(qg, k, v)
+    g_man = jax.grad(man, argnums=(0, 1, 2))(qg, k, v)
+    for a, b_ in zip(g_ref, g_man):
+        scale = np.abs(np.asarray(a)).max() + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b_) / scale, np.asarray(a) / scale, atol=1.2e-2
+        )
+
+
+def test_fused_lm_loss_matches_dense():
+    """lm_loss_from_hidden: value == causal_lm_loss(_unembed(h)); grads wrt
+    hidden match autodiff within the bf16 dlogits rounding."""
+    config = tiny_test_config("llama", vocab_size=96)
+    params = T.init_params(config, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    b, s = 2, 12
+    hidden = jnp.asarray(rng.normal(size=(b, s, config.hidden_size)),
+                         jnp.float32)
+    labels = rng.integers(0, 96, (b, s))
+    labels[:, :5] = -100  # prompt masking
+    labels = jnp.asarray(labels, jnp.int32)
+
+    ref_val = T.causal_lm_loss(T._unembed(params, config, hidden), labels)
+    got_val = T.lm_loss_from_hidden(params, config, hidden, labels)
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-6)
+
+    g_ref = jax.grad(
+        lambda h: T.causal_lm_loss(T._unembed(params, config, h), labels)
+    )(hidden)
+    g_got = jax.grad(
+        lambda h: T.lm_loss_from_hidden(params, config, h, labels)
+    )(hidden)
+    scale = np.abs(np.asarray(g_ref)).max() + 1e-9
+    np.testing.assert_allclose(
+        np.asarray(g_got) / scale, np.asarray(g_ref) / scale, atol=1.5e-2
+    )
+    # all-masked rows contribute nothing and produce no NaNs
+    all_masked = jnp.full_like(labels, -100)
+    val = T.lm_loss_from_hidden(params, config, hidden, all_masked)
+    assert float(val) == 0.0
