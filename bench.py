@@ -156,6 +156,81 @@ def tpu_path_factory(merges, p1, p99):
     return pipeline
 
 
+def bench_preprocess_stages(merges, p1, p99, adc_dev, batch):
+    """Measured per-stage budget of the device pipeline (ms per batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ecg_byte_tpu.ops import bpe_encode, bpe_match, dsp
+    from ecg_byte_tpu.ops.quantize import normalize_quantize
+
+    matcher = bpe_encode.build_matcher(merges)
+    banks_meta = tuple(b[0] for b in matcher.banks)
+    bank_arrays = tuple(b[1:] for b in matcher.banks)
+
+    def timeit(fn, *args, n=6, rounds=3):
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+        best = 1e9
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn(*args)
+            np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+            best = min(best, (time.perf_counter() - t0) / n)
+        return round(best * 1e3, 1)
+
+    @jax.jit
+    def stage_dsp(adc):
+        return dsp.preprocess_records(
+            adc.astype(jnp.float32) / 200.0, fs=500.0, target_fs=250.0
+        )
+
+    @jax.jit
+    def stage_quant(x):
+        _, q = normalize_quantize(x, p1, p99)
+        return q.reshape(q.shape[0], -1)
+
+    @jax.jit
+    def stage_match(q):
+        m = bpe_encode.ConvMatcher(
+            banks=tuple((l,) + a for l, a in zip(banks_meta, bank_arrays)),
+            max_len=matcher.max_len,
+        )
+        return bpe_encode._longest_match_conv(q.astype(jnp.int32), m)
+
+    @jax.jit
+    def stage_chain(ml):
+        if (bpe_encode._pallas_chain_available()
+                and matcher.max_len <= bpe_match._WINDOW):
+            return bpe_match.greedy_chain(ml)
+        return bpe_encode._greedy_chain_scan(ml, matcher.max_len)
+
+    @jax.jit
+    def stage_compact(mt, vis):
+        return bpe_encode._compact(mt, vis)
+
+    x = stage_dsp(adc_dev)
+    q = stage_quant(x)
+    mt, ml = stage_match(q)
+    vis = stage_chain(ml)
+    stage_compact(mt, vis)
+    budget = {
+        "dsp": timeit(stage_dsp, adc_dev),
+        "quantize": timeit(stage_quant, x),
+        "match": timeit(stage_match, q),
+        "chain": timeit(stage_chain, ml),
+        "compact": timeit(stage_compact, mt, vis),
+    }
+    return {
+        "metric": "preprocess_stage_budget",
+        "value": round(sum(budget.values()), 1),
+        "unit": f"ms per {batch}-record batch",
+        "vs_baseline": 0,
+        "stages_ms": budget,
+    }
+
+
 # --- flagship decode / train -------------------------------------------------
 
 # (HBM bytes/s, bf16 FLOP/s) per device kind; conservative public numbers.
@@ -191,8 +266,49 @@ def _flagship():
     return config, params
 
 
+def measure_stream_bandwidth():
+    """Machine-attainable HBM read bandwidth (GB/s), measured.
+
+    Dependent single-row matmul chains over a 2 GB weight stack: each scan
+    step must stream a fresh 128 MB matrix from HBM (VMEM cannot hold the
+    stack) and the carried vector serializes the chain, so wall-clock =
+    bytes / attainable-bandwidth.  This is the denominator decode should be
+    judged against: nominal spec bandwidth (819 GB/s on v5e) is not
+    reachable by ANY real access pattern on this part (~88% is).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    k, n, sweeps = 16, 8192, 8
+    w = jax.random.normal(jax.random.PRNGKey(0), (k, n, n), jnp.bfloat16)
+    y0 = jnp.ones((1, n), jnp.bfloat16)
+
+    @jax.jit
+    def many(y, w):
+        def outer(_, y):
+            y2, _ = jax.lax.scan(
+                lambda c, wi: (jnp.tanh(c @ wi), None), y, w
+            )
+            return y2
+        return jax.lax.fori_loop(0, sweeps, outer, y)
+
+    out = many(y0, w)
+    np.asarray(out)  # hard sync
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = many(y0, w)
+        np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    total_bytes = sweeps * k * n * n * 2
+    return total_bytes / best
+
+
 def bench_decode(config, params):
-    """Greedy decode tok/s and roofline fraction (BASELINE.md:25)."""
+    """Greedy decode tok/s; vs_baseline = fraction of the NOMINAL HBM
+    roofline (BASELINE.md target >= 0.90), vs_attainable = fraction of the
+    measured-attainable streaming roofline (the in-process bandwidth probe
+    above) — both recorded so the ceiling argument travels with the number."""
     import jax
 
     from ecg_byte_tpu.infer.decode import greedy_generate
@@ -229,12 +345,17 @@ def bench_decode(config, params):
         * 2 * 2  # k+v, bf16
     )
     hbm_bw, _ = _device_peaks()
-    roofline = hbm_bw / (param_bytes + kv_bytes)
+    bytes_per_tok = param_bytes + kv_bytes
+    roofline = hbm_bw / bytes_per_tok
+    attainable_bw = measure_stream_bandwidth()
+    attainable = attainable_bw / bytes_per_tok
     return {
         "metric": "decode_throughput",
         "value": round(1.0 / per_tok, 1),
         "unit": "tok/s",
         "vs_baseline": round(1.0 / per_tok / roofline, 3),
+        "vs_attainable": round(1.0 / per_tok / attainable, 3),
+        "attainable_bw_gbps": round(attainable_bw / 1e9, 1),
     }
 
 
@@ -348,6 +469,10 @@ def main():
         np.asarray(counts)
         rates.append(iters * batch / (time.perf_counter() - t0))
     our_rate = sorted(rates)[len(rates) // 2]  # median round
+
+    # measured per-stage budget (each stage jitted alone; same batch) —
+    # committed so the throughput number travels with its decomposition
+    print(json.dumps(bench_preprocess_stages(merges, p1, p99, adc_dev, batch)))
 
     # secondary: with per-batch host->device ingest through this
     # environment's tunnel, transfers double-buffered against compute

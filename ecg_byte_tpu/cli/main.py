@@ -94,6 +94,12 @@ def get_args():
                              'batch 1) while the weight stream amortizes '
                              'across the batch')
     parser.add_argument('--data_root', type=str, default='./data')
+    parser.add_argument('--no_merge_lora', action='store_true',
+                        help='keep LoRA adapters attached at inference '
+                             'instead of folding them into the base weights '
+                             '(merged decode streams one weight set per '
+                             'token; attached matches training-time math '
+                             'bit-for-bit)')
     parser.add_argument('--online_encode', action='store_true',
                         help='per-item host BPE encode (reference '
                              'data_loader.py:74-76 semantics) instead of the '
@@ -190,6 +196,7 @@ def main():
 
         ckpt_dir = f"./runs/{args.seed}/{args.checkpoint}"
         eos_id = tokenizer.eos_token_id
+        infer = {"params": state.full_params(), "lora": state.lora()}
 
         def generate_fn(batch):
             ids = np.asarray(batch["tokenized_signal"], np.int32)
@@ -206,8 +213,8 @@ def main():
                     [np.zeros((mask.shape[0], pad), np.int32), mask], axis=1
                 )
             out = greedy_generate(
-                state.full_params(), config, ids, mask,
-                lora=state.lora(), max_new_tokens=128,
+                infer["params"], config, ids, mask,
+                lora=infer["lora"], max_new_tokens=128,
                 eos_token_id=eos_id, pad_token_id=pad_id,
             )
 
@@ -228,6 +235,18 @@ def main():
             set_seed(seed)
             loaded, _ = load_checkpoint(ckpt_dir, "best_model", state)
             state = loaded
+            if state.lora() is not None and not args.no_merge_lora:
+                # fold adapters into the base for serving: decode then
+                # streams ONE weight set per token instead of base + 224
+                # tiny adapter matmuls per step (PEFT merge-for-inference;
+                # --no_merge_lora keeps the adapter-attached path, whose
+                # token streams can differ on near-ties by bf16 rounding)
+                infer["params"] = lora_lib.merge_lora(
+                    state.full_params(), state.lora(), config
+                )
+                infer["lora"] = None
+            else:
+                infer["params"], infer["lora"] = state.full_params(), state.lora()
             seed_results = tester(
                 generate_fn, test_loader, dev=args.dev
             )

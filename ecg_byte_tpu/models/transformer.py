@@ -614,6 +614,7 @@ def chunked_lm_loss(
     hidden: jax.Array,
     labels: jax.Array,
     chunk: int = 8192,
+    mesh=None,
 ) -> jax.Array:
     """Cross-entropy without materializing the (B, S, V) logits.
 
@@ -644,6 +645,16 @@ def chunked_lm_loss(
     safe = jnp.where(valid, shift_labels, 0)
 
     head_tiles = head.reshape(d, n_chunks, chunk).transpose(1, 0, 2)
+    if mesh is not None and "tp" in mesh.shape:
+        # shard each vocab tile's columns over tp (instead of letting GSPMD
+        # all-gather the reshaped head): the per-tile matmul then runs on
+        # V/tp-wide shards and the running max/sum row reductions become
+        # small cross-tp collectives
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        head_tiles = jax.lax.with_sharding_constraint(
+            head_tiles, NamedSharding(mesh, P(None, None, "tp"))
+        )
 
     def tile_step(carry, head_tile):
         m_run, l_run, lab_run, idx = carry

@@ -359,22 +359,38 @@ def _greedy_chain_scan(match_len: jax.Array, max_len: int) -> jax.Array:
 
 
 def _compact(match_tok, visited):
-    """Scatter visited tokens left-aligned; returns (ids, counts)."""
+    """Left-align visited tokens; returns (ids, counts).
+
+    Formulated as a key sort: visited positions keep their position as the
+    key, non-visited shift by N, so a single ``sort_key_val`` along the
+    position axis moves survivors to the front in order.  TPU's sort
+    lowering runs this in 15.7 ms per 256x30k batch vs 53.8 ms for the
+    previous cumsum+scatter formulation (scatter is gather-class on TPU);
+    the two are output-identical (distinct integer keys, deterministic).
+    """
     b, n = match_tok.shape
-
-    def one(tok, vis):
-        out_idx = jnp.where(vis, jnp.cumsum(vis) - 1, n)
-        ids = (
-            jnp.full((n + 1,), PAD_TOKEN, jnp.int32)
-            .at[out_idx]
-            .set(jnp.where(vis, tok, PAD_TOKEN))[:n]
-        )
-        return ids, jnp.sum(vis.astype(jnp.int32))
-
-    return jax.vmap(one)(match_tok, visited)
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    key = jnp.where(visited, pos, pos + n)
+    _, sorted_tok = jax.lax.sort_key_val(key, match_tok, dimension=1)
+    counts = jnp.sum(visited.astype(jnp.int32), axis=1)
+    ids = jnp.where(
+        jnp.arange(n, dtype=jnp.int32)[None] < counts[:, None],
+        sorted_tok,
+        PAD_TOKEN,
+    )
+    return ids, counts
 
 
 _MATCH_BYTES_BUDGET = 64 << 20  # cap the transient score tiles (64 MB swept fastest on v5e)
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_chain_available() -> bool:
+    try:
+        devs = jax.devices()
+    except RuntimeError:
+        return False
+    return bool(devs) and devs[0].platform in ("tpu", "axon")
 
 
 @functools.partial(jax.jit, static_argnames=("matcher_max_len", "banks_meta"))
@@ -387,7 +403,14 @@ def _encode_conv_impl(q, bank_arrays, matcher_max_len, banks_meta):
     if squeeze:
         q = q[None]
     match_tok, match_len = _longest_match_conv(q, matcher)
-    visited = _greedy_chain_scan(match_len, matcher.max_len)
+    from ecg_byte_tpu.ops import bpe_match
+
+    if _pallas_chain_available() and matcher.max_len <= bpe_match._WINDOW:
+        # in-kernel rolling-window chain: 5.9 ms vs 9.4 ms for the XLA scan
+        # per 256x30k batch on v5e (one hardware loop vs N scan steps)
+        visited = bpe_match.greedy_chain(match_len)
+    else:
+        visited = _greedy_chain_scan(match_len, matcher.max_len)
     ids, counts = _compact(match_tok, visited)
     if squeeze:
         return ids[0], counts[0]

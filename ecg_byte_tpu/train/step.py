@@ -91,7 +91,9 @@ def _loss_from_batch(config, params, lora, batch, dropout_rng, mesh,
         return_hidden=True,
     )
     if chunked_loss:
-        return tfm.chunked_lm_loss(params, config, hidden, batch["labels"])
+        return tfm.chunked_lm_loss(
+            params, config, hidden, batch["labels"], mesh=mesh
+        )
     return tfm.lm_loss_from_hidden(params, config, hidden, batch["labels"])
 
 

@@ -201,3 +201,29 @@ def test_chunked_loss_step_matches_dense():
             state, loss = step(state, batch, key)
         losses[chunked] = float(loss)
     np.testing.assert_allclose(losses[False], losses[True], rtol=2e-4)
+
+
+def test_chunked_loss_tp_sharded_matches_single_device():
+    """chunked_loss under a dp x tp mesh (head tiles tp-sharded instead of
+    replicated) must reproduce the single-device chunked loss."""
+    from ecg_byte_tpu.train.step import shard_state
+
+    config = tiny_test_config("llama", vocab_size=256)
+    opt = make_optimizer(config.hidden_size, warmup_steps=10)
+    rng = np.random.default_rng(3)
+    ids = np.asarray(rng.integers(0, 256, (8, 32)), np.int32)
+    batch = {"input_ids": ids, "attn_mask": np.ones((8, 32), np.int32),
+             "labels": ids}
+    key = jax.random.PRNGKey(0)
+
+    state = create_train_state(config, opt, jax.random.PRNGKey(1), peft=True)
+    step = make_train_step(config, opt, None, chunked_loss=True)
+    state, want = step(state, batch, key)
+
+    mesh = make_mesh(dp=2, tp=4)
+    state2 = create_train_state(config, opt, jax.random.PRNGKey(1), peft=True)
+    state2 = shard_state(state2, config, mesh, peft=True)
+    with mesh:
+        stepm = make_train_step(config, opt, mesh, chunked_loss=True)
+        state2, got = stepm(state2, batch, key)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-5)
