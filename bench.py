@@ -347,16 +347,21 @@ def bench_decode(config, params):
     hbm_bw, _ = _device_peaks()
     bytes_per_tok = param_bytes + kv_bytes
     roofline = hbm_bw / bytes_per_tok
-    attainable_bw = measure_stream_bandwidth()
-    attainable = attainable_bw / bytes_per_tok
-    return {
+    out = {
         "metric": "decode_throughput",
         "value": round(1.0 / per_tok, 1),
         "unit": "tok/s",
         "vs_baseline": round(1.0 / per_tok / roofline, 3),
-        "vs_attainable": round(1.0 / per_tok / attainable, 3),
-        "attainable_bw_gbps": round(attainable_bw / 1e9, 1),
     }
+    try:
+        attainable_bw = measure_stream_bandwidth()
+        out["vs_attainable"] = round(
+            1.0 / per_tok / (attainable_bw / bytes_per_tok), 3
+        )
+        out["attainable_bw_gbps"] = round(attainable_bw / 1e9, 1)
+    except Exception as e:  # the probe must never cost us the metric
+        print(f"bandwidth probe skipped: {e}", file=sys.stderr)
+    return out
 
 
 def bench_train(config, params):
@@ -472,7 +477,10 @@ def main():
 
     # measured per-stage budget (each stage jitted alone; same batch) —
     # committed so the throughput number travels with its decomposition
-    print(json.dumps(bench_preprocess_stages(merges, p1, p99, adc_dev, batch)))
+    try:
+        print(json.dumps(bench_preprocess_stages(merges, p1, p99, adc_dev, batch)))
+    except Exception as e:  # never cost the headline metric
+        print(f"stage budget skipped: {e}", file=sys.stderr)
 
     # secondary: with per-batch host->device ingest through this
     # environment's tunnel, transfers double-buffered against compute

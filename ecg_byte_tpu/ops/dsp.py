@@ -129,7 +129,10 @@ def apply_operator(x: jax.Array, op) -> jax.Array:
         "...n,mn->...m",
         x,
         jnp.asarray(op),
-        precision=jax.lax.Precision.HIGHEST,
+        # bf16_3x passes: ~2^-21 relative error, well inside the 2e-5
+        # scipy-parity contract (tests/test_dsp.py) at ~2.5x less MXU time
+        # than the full-f32 HIGHEST path
+        precision=jax.lax.Precision.HIGH,
     )
 
 

@@ -14,3 +14,4 @@ from ecg_byte_tpu.tokenizer.bpe import (  # noqa: F401
     save_vocab_and_merges,
     load_vocab_and_merges,
 )
+from ecg_byte_tpu.tokenizer.wordpiece import WordPieceTokenizer  # noqa: F401
