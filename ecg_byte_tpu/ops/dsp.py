@@ -123,16 +123,19 @@ def resample_operator(n: int, orig_fs: float, target_fs: float) -> np.ndarray:
     return _disk_cached("resample", (n, orig_fs, target_fs), build)
 
 
-def apply_operator(x: jax.Array, op) -> jax.Array:
-    """Apply a precompiled [m, n] linear operator along the last (time) axis."""
+def apply_operator(x: jax.Array, op, precision=jax.lax.Precision.HIGH) -> jax.Array:
+    """Apply a precompiled [m, n] linear operator along the last (time) axis.
+
+    Default precision is bf16_3x (measured ~4e-5 relative on v5e): the
+    filter chain's parity contract is loose (passband-ripple RMS), so it
+    takes the ~2.5x-cheaper passes; the cubic resample keeps full f32
+    (HIGHEST) for its tight 2e-5 scipy bound.
+    """
     return jnp.einsum(
         "...n,mn->...m",
         x,
         jnp.asarray(op),
-        # bf16_3x passes: ~2^-21 relative error, well inside the 2e-5
-        # scipy-parity contract (tests/test_dsp.py) at ~2.5x less MXU time
-        # than the full-f32 HIGHEST path
-        precision=jax.lax.Precision.HIGH,
+        precision=precision,
     )
 
 
@@ -150,7 +153,7 @@ def advanced_ecg_filter(
 def nsample_ecg(x: jax.Array, orig_fs: float, target_fs: float) -> jax.Array:
     """Device cubic resample along the last (time) axis."""
     op = resample_operator(x.shape[-1], orig_fs, target_fs)
-    return apply_operator(x, op)
+    return apply_operator(x, op, precision=jax.lax.Precision.HIGHEST)
 
 
 def check_nan_inf(x: jax.Array) -> jax.Array:

@@ -291,3 +291,19 @@ def test_fused_lm_loss_matches_dense():
     all_masked = jnp.full_like(labels, -100)
     val = T.lm_loss_from_hidden(params, config, hidden, all_masked)
     assert float(val) == 0.0
+
+
+def test_fused_lm_loss_scaled_cotangent():
+    """The custom CE backward must scale with the upstream cotangent (a 2x
+    outer factor doubles grads), not assume gbar == 1."""
+    config = tiny_test_config("llama", vocab_size=64)
+    params = T.init_params(config, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(1)
+    hidden = jnp.asarray(rng.normal(size=(1, 8, config.hidden_size)),
+                         jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 64, (1, 8)), jnp.int32)
+    g1 = jax.grad(lambda h: T.lm_loss_from_hidden(params, config, h, labels))(hidden)
+    g2 = jax.grad(
+        lambda h: 2.0 * T.lm_loss_from_hidden(params, config, h, labels)
+    )(hidden)
+    np.testing.assert_allclose(np.asarray(g2), 2 * np.asarray(g1), rtol=1e-5)
