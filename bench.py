@@ -272,19 +272,26 @@ def measure_stream_bandwidth():
     Dependent single-row matmul chains over a 2 GB weight stack: each scan
     step must stream a fresh 128 MB matrix from HBM (VMEM cannot hold the
     stack) and the carried vector serializes the chain, so wall-clock =
-    bytes / attainable-bandwidth.  This is the denominator decode should be
-    judged against: nominal spec bandwidth (819 GB/s on v5e) is not
-    reachable by ANY real access pattern on this part (~88% is).
+    bytes / attainable-bandwidth.  Timed at TWO sweep counts and
+    differenced — the axon tunnel's ~30 ms dispatch+sync round trip would
+    otherwise be charged to the probe (16 GB streams in ~22 ms, so a single
+    absolute timing under-reads bandwidth by >2x).  Differencing makes the
+    probe commensurable with bench_decode, which cancels the same RTT the
+    same way.  Measured here: ~739 GB/s = 90% of the 819 GB/s nominal —
+    the denominator decode should be judged against.
     """
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
 
-    k, n, sweeps = 16, 8192, 8
+    k, n = 16, 8192
+    lo_sweeps, hi_sweeps = 4, 16
     w = jax.random.normal(jax.random.PRNGKey(0), (k, n, n), jnp.bfloat16)
     y0 = jnp.ones((1, n), jnp.bfloat16)
 
-    @jax.jit
-    def many(y, w):
+    @partial(jax.jit, static_argnames="sweeps")
+    def many(y, w, sweeps):
         def outer(_, y):
             y2, _ = jax.lax.scan(
                 lambda c, wi: (jnp.tanh(c @ wi), None), y, w
@@ -292,16 +299,20 @@ def measure_stream_bandwidth():
             return y2
         return jax.lax.fori_loop(0, sweeps, outer, y)
 
-    out = many(y0, w)
-    np.asarray(out)  # hard sync
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = many(y0, w)
-        np.asarray(out)
-        best = min(best, time.perf_counter() - t0)
-    total_bytes = sweeps * k * n * n * 2
-    return total_bytes / best
+    def timed(sweeps):
+        out = many(y0, w, sweeps)
+        np.asarray(out[0, :1])  # tiny device-side slice; hard sync
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = many(y0, w, sweeps)
+            np.asarray(out[0, :1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(lo_sweeps), timed(hi_sweeps)
+    sweep_bytes = k * n * n * 2
+    return (hi_sweeps - lo_sweeps) * sweep_bytes / (t_hi - t_lo)
 
 
 def bench_decode(config, params):
