@@ -100,6 +100,12 @@ def get_args():
                              '(merged decode streams one weight set per '
                              'token; attached matches training-time math '
                              'bit-for-bit)')
+    parser.add_argument('--remat', type=str, default='dots',
+                        choices=['dots', 'full', 'none'],
+                        help='rematerialization policy for the train step: '
+                             'dots (safe default), none (fastest when the '
+                             'batch fits HBM — see TRAINPERF.md), full '
+                             '(lowest memory)')
     parser.add_argument('--online_encode', action='store_true',
                         help='per-item host BPE encode (reference '
                              'data_loader.py:74-76 semantics) instead of the '
@@ -298,7 +304,10 @@ def main():
     )
 
     with mesh:
-        step_fn = make_train_step(config, optimizer, mesh if args.dis else None)
+        remat = {'dots': 'dots', 'none': False, 'full': True}[args.remat]
+        step_fn = make_train_step(
+            config, optimizer, mesh if args.dis else None, remat=remat
+        )
         eval_fn = make_eval_step(config, mesh if args.dis else None)
         log_fn = make_log_fn(args)
         ensure_directory_exists(directory_path)

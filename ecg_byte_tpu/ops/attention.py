@@ -152,12 +152,41 @@ def causal_attention(
     # query head hq uses kv head hq // n_rep, i.e. H splits as (KH, G).
     qg = q.reshape(b, s, kh, n_rep, d)
     if not return_probs:
+        if _resident_supported(qg.shape, q.dtype):
+            # resident Pallas kernel: the whole (S, S) softmax lives and
+            # dies in VMEM — no HBM-bound probability traffic in fwd or bwd
+            from jax.interpreters import pxla
+
+            from ecg_byte_tpu.ops import attention_resident
+
+            env_mesh = pxla.thread_resources.env.physical_mesh
+            if env_mesh.empty:
+                out = attention_resident.resident_attention(qg, k, v, pad_mask)
+            else:
+                # a pallas_call is opaque to GSPMD: under an active mesh,
+                # shard cells explicitly (batch x kv-heads, no collectives)
+                out = attention_resident.resident_attention_sharded(
+                    qg, k, v, pad_mask, mesh=env_mesh
+                )
+            return out.reshape(b, s, h, d), None
         # manual-VJP core: identical forward, bf16 gradient intermediates
         out = _grouped_attention(qg, k, v, pad_mask)
         return out.reshape(b, s, h, d), None
     probs = _grouped_probs(qg, k, pad_mask)
     out = jnp.einsum("bkgqs,bskd->bqkgd", probs, v).reshape(b, s, h, d)
     return out, probs.reshape(b, kh * n_rep, s, s)
+
+
+def _resident_supported(qg_shape, dtype) -> bool:
+    """Dispatch gate for the resident-sequence training kernel."""
+    if not _flash_available():  # same platform gate: TPU with Pallas
+        return False
+    try:
+        from ecg_byte_tpu.ops import attention_resident
+
+        return attention_resident.supported(qg_shape, dtype)
+    except ImportError:
+        return False
 
 
 @functools.lru_cache(maxsize=1)

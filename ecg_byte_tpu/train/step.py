@@ -109,10 +109,12 @@ def make_train_step(
 
     ``remat`` follows :func:`transformer._scan_layers`: ``"dots"``
     (default) saves matmul outputs and recomputes only attention softmax +
-    elementwise on backward — the fastest mode that fits HBM at training
-    sizes; ``True`` is full per-layer remat (cheapest memory); ``False``
-    saves everything (OOMs at 4x1024 on 16 GB — the scan keeps all f32
-    attention logits).  ``chunked_loss=True`` computes the cross entropy
+    elementwise on backward — the safe mode at any batch size; ``True``
+    is full per-layer remat (cheapest memory); ``False`` saves everything
+    and is the FASTEST when the batch fits HBM (207 vs 234 ms/step at the
+    flagship 4x1024 on v5e) — viable since the resident-attention kernel
+    (ops/attention_resident.py) stopped the scan from keeping (S, S)
+    residuals.  ``chunked_loss=True`` computes the cross entropy
     from hidden states in vocab tiles (models/transformer.chunked_lm_loss)
     instead of materializing the (B, S, V) logits — the memory hog for
     132k-vocab training."""
