@@ -123,7 +123,7 @@ class ECGTokenDataset:
         """Device-batch encode every record once (MXU conv-matcher path)."""
         from ecg_byte_tpu.ops import bpe_encode
 
-        matcher = bpe_encode.build_matcher(self.merges)
+        matcher = bpe_encode.build_best_matcher(self.merges)
         p1 = self.percentiles["percentile_1"]
         p99 = self.percentiles["percentile_99"]
         cache: List[List[int]] = []

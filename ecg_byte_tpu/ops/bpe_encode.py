@@ -5,13 +5,23 @@ trie (rust_bpe lib.rs:149-193).  Greedy longest-match tokenization looks
 inherently serial, but it decomposes into three data-parallel stages:
 
 1. **Longest match per position** -- the token dictionary is compiled into
-   per-length one-hot *filter banks*, and matching becomes 1-D convolution
-   on the MXU: for tokens of length L, matching a width-W filter bank over
-   im2col windows counts agreeing symbols, and a count of L is an exact
-   dictionary hit.  (length, id) pairs pack into one f32-exact weight so a
-   single fused compare-select-max pass recovers the longest token and its
-   id; position/token tiling bounds the transients at any record length.  (A gather-based automaton scan is kept as
-   an alternative backend: TPU gathers run ~100x slower than this conv
+   per-width *arithmetic filter banks* and matching becomes one MXU matmul
+   per bank via the squared-difference identity
+
+       sum_{j<L} (s[i+j] - t_j)^2 == 0   <=>   token t matches at position i
+
+   expanded into an inner product: per window slot the features are
+   ``[s, s^2 >> 4, s^2 & 15]`` (all integers <= 42, bf16-exact) and per
+   token the weights are ``[-2*t_j, 16*m_j, m_j]`` with mask ``m_j = 1[j<L]``
+   — so ``score = windows @ W`` equals ``sum m*s^2 - 2 sum s*t`` and a hit
+   is the single f32-exact compare ``score == -sum t_j^2``.  The contraction
+   is 3W instead of the 27W of a one-hot formulation (9x fewer FLOPs, 18x
+   fewer im2col bytes); symbols are shifted to 1..26 so the 0-padding past
+   the record end can never match.  (length, id) pairs pack into one
+   f32-exact weight so a fused compare-select-max epilogue recovers the
+   longest token and its id; position/token tiling bounds the transients at
+   any record length.  (A gather-based automaton scan is kept as an
+   alternative backend: TPU gathers run ~100x slower than this matmul
    formulation, but it is useful on CPU and for cross-checks.)
 
 2. **Greedy chain** -- the tokenization visits ``0, f(0), f(f(0)), ...``
@@ -178,12 +188,14 @@ def _greedy_chain(match_len: jax.Array) -> jax.Array:
 
 
 class ConvMatcher(NamedTuple):
-    """Per-length one-hot filter banks compiled from the merge dictionary.
+    """Per-width arithmetic filter banks compiled from the merge dictionary.
 
     Attributes:
-      banks: tuple of (length, filters (T, 27, length) bf16,
-        ids_hi (T,) f32, ids_lo (T,) f32) — ids split as id = hi * 256 + lo
-        so both parts are exact in bf16/f32 accumulations.
+      banks: tuple of (width, wmat (3*width, T) bf16, negc (T,) f32,
+        wpack (T,) f32).  ``wmat`` holds the squared-difference expansion
+        weights ``[-2*(t_j+1), 16*m_j, m_j]`` interleaved per window slot;
+        ``negc = -sum (t_j+1)^2`` is the per-token hit constant; ``wpack``
+        packs ``len * 8192 + id`` (f32-exact for id < 8192, len < 2048).
       max_len: python int, maximum token length.
     """
 
@@ -195,14 +207,16 @@ def build_matcher(
     merges: Sequence[Tuple[Sequence[int], int]],
     group_widths: Sequence[int] = (4, 8, 16, 32, 64, 128),
 ) -> ConvMatcher:
-    """Compile merges into grouped convolutional filter banks.
+    """Compile merges into grouped arithmetic (squared-difference) banks.
 
-    Tokens are grouped by length into shared-width filter banks (each token
-    zero-padded to the group width W): one conv per group with contraction
-    size 27*W keeps the MXU's K dimension full instead of the K=27 of
-    per-length convs.  Zero filter rows contribute nothing, and windows
-    running past the end see the all-zero PAD one-hot, so a short token
-    still matches exactly when (and only when) its own symbols agree.
+    Tokens are grouped by length into shared-width banks (each token
+    mask-padded to the group width W): one MXU matmul per bank with
+    contraction 3W scores every (position, token) pair exactly (see module
+    docstring).  Masked slots carry zero weights so they contribute
+    nothing, and windows running past the record end see symbol value 0
+    (real symbols are shifted to 1..26), which can never equal a token
+    symbol — a short token still matches exactly when (and only when) its
+    own symbols agree.
 
     Duplicate expanded sequences keep the LAST token id, matching the trie's
     insert-overwrite semantics (rust_bpe lib.rs:140-147).
@@ -238,21 +252,23 @@ def build_matcher(
     for width in sorted(groups):
         entries = sorted(groups[width], key=lambda e: len(e[0]))
         t = len(entries)
-        filt = np.zeros((t, NUM_SYMBOLS + 1, width), np.float32)
-        ids = np.zeros((t,), np.int64)
-        lens = np.zeros((t,), np.float32)
-        for row, (symbols, token_id) in enumerate(entries):
+        wmat = np.zeros((3 * width, t), np.float32)
+        negc = np.zeros((t,), np.float32)
+        wpack = np.zeros((t,), np.float32)
+        for col, (symbols, token_id) in enumerate(entries):
             for j, s in enumerate(symbols):
-                filt[row, s, j] = 1.0
-            ids[row] = token_id
-            lens[row] = len(symbols)
+                v = s + 1  # shifted symbol: 1..26 (0 = past-the-end pad)
+                wmat[3 * j, col] = -2.0 * v
+                wmat[3 * j + 1, col] = 16.0
+                wmat[3 * j + 2, col] = 1.0
+            negc[col] = -float(sum((s + 1) ** 2 for s in symbols))
+            wpack[col] = float(len(symbols) * 8192 + token_id)
         banks.append(
             (
                 width,
-                jnp.asarray(filt, jnp.bfloat16),
-                jnp.asarray(ids // 256, jnp.float32),
-                jnp.asarray(ids % 256, jnp.float32),
-                jnp.asarray(lens, jnp.bfloat16),
+                jnp.asarray(wmat, jnp.bfloat16),
+                jnp.asarray(negc, jnp.float32),
+                jnp.asarray(wpack, jnp.float32),
             )
         )
     return ConvMatcher(banks=tuple(banks), max_len=max_len)
@@ -264,53 +280,52 @@ def _longest_match_conv(q: jax.Array, matcher: ConvMatcher):
     q: int [B, N] symbols -> (match_tok (B, N) int32, match_len (B, N) int32).
     """
     b, n = q.shape
-    x = jax.nn.one_hot(q, NUM_SYMBOLS + 1, dtype=jnp.bfloat16)  # (B, N, 27)
     max_width = max((bank[0] for bank in matcher.banks), default=1)
-    # Zero-pad max_width-1 trailing positions once: windows running past the
-    # end contribute 0 to any filter row, so a token only matches when all of
-    # its own symbols agree inside the stream.
-    xp = jnp.pad(x, ((0, 0), (0, max_width - 1), (0, 0)))
+    # Shift symbols to 1..26 and zero-pad max_width-1 trailing positions:
+    # (0 - t)^2 > 0 for every real token symbol, so windows running past the
+    # record end can never complete a match.
+    s = jnp.pad(q.astype(jnp.int32) + 1, ((0, 0), (0, max_width - 1)))
+    sq = s * s
+    # bf16-exact integer features (values <= 42); interleaved [s, hi, lo]
+    # per slot to match the build_matcher weight-row order.
+    feat = jnp.stack(
+        [s, jax.lax.shift_right_logical(sq, 4), jnp.bitwise_and(sq, 15)],
+        axis=-1,
+    ).astype(jnp.bfloat16)  # (B, N + max_width - 1, 3)
 
     # Tile the position axis and slice the token axis so the transients
-    # (windows im2col + score) stay within a fixed memory budget regardless
-    # of record length and vocab size.  "Longer match wins" merging makes the
-    # result independent of tile/slice/bank order.
-    tile_n = max(512, min(n, _MATCH_BYTES_BUDGET // max(b * 2 * 2048, 1)))
+    # (windows im2col + f32 score) stay within a fixed memory budget
+    # regardless of record length and vocab size.  "Longer match wins"
+    # merging makes the result independent of tile/slice/bank order.
+    tile_n = max(512, min(n, _MATCH_BYTES_BUDGET // max(b * 4 * 512, 1)))
     tok_parts = []
     len_parts = []
     for p0 in range(0, n, tile_n):
         pn = min(tile_n, n - p0)
         tok_run = q[:, p0 : p0 + pn].astype(jnp.int32) + _BYTE_A
         len_run = jnp.ones((b, pn), jnp.int32)
-        for width, filt, ids_hi, ids_lo, len_t in matcher.banks:
-            # im2col over this tile only: (B, pn, W*27).  A matmul with a
-            # (W*27)-sized contraction keeps the MXU's K dimension full and
-            # sidesteps the pathological wide-filter conv lowering.
+        for width, wmat, negc, wpack in matcher.banks:
+            # im2col over this tile only: (B, pn, 3W) bf16 — 9x fewer
+            # contraction rows and 18x fewer window bytes than a one-hot
+            # filter-bank formulation of the same match.
             windows = jnp.concatenate(
-                [xp[:, p0 + j : p0 + j + pn] for j in range(width)], axis=-1
+                [feat[:, p0 + j : p0 + j + pn] for j in range(width)], axis=-1
             )
-            filt2d = jnp.transpose(filt, (2, 1, 0)).reshape(
-                width * (NUM_SYMBOLS + 1), -1
-            )  # (W*27, T)
-            t_total = filt2d.shape[1]
-            t_slice = max(256, _MATCH_BYTES_BUDGET // max(b * pn * 2, 1))
-            # combined (length, id) weight: len * 2^13 + id stays exactly
-            # representable in f32 (< 2^24 for len <= 256, id < 8192), so ONE
-            # fused compare+select+max pass over the score recovers both the
-            # longest length and its token id
-            w_t = (len_t.astype(jnp.float32) * 8192.0
-                   + (ids_hi * 256.0 + ids_lo))
+            t_total = wmat.shape[1]
+            t_slice = max(256, _MATCH_BYTES_BUDGET // max(b * pn * 4, 1))
             for t0 in range(0, t_total, t_slice):
-                f_sl = filt2d[:, t0 : t0 + t_slice]
-                len_sl = len_t[t0 : t0 + t_slice]
-                w_sl = w_t[t0 : t0 + t_slice]
+                w_sl = wmat[:, t0 : t0 + t_slice]
                 score = jax.lax.dot_general(
-                    windows, f_sl, (((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.bfloat16,
-                )  # (B, pn, t); match counts exact in bf16 (<= width <= 256)
-                hit = score == len_sl[None, None, :]
+                    windows, w_sl, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (B, pn, t) f32; exact integer sums (|score| < 2^24)
+                hit = score == negc[None, None, t0 : t0 + t_slice]
+                # packed (length, id) weight: len * 2^13 + id stays exactly
+                # representable in f32, so ONE fused compare+select+max pass
+                # recovers both the longest length and its token id
                 val = jnp.max(
-                    jnp.where(hit, w_sl[None, None, :], 0.0), axis=-1
+                    jnp.where(hit, wpack[None, None, t0 : t0 + t_slice], 0.0),
+                    axis=-1,
                 )  # (B, pn) f32: longest match's (len, id), 0 if none
                 best_len = jnp.floor_divide(val, 8192.0).astype(jnp.int32)
                 tok = jnp.mod(val, 8192.0).astype(jnp.int32)
@@ -434,12 +449,27 @@ def _encode_impl(q, trans, token, automaton_max_len):
     return _compact(match_tok, visited)
 
 
+def build_best_matcher(merges: Sequence[Tuple[Sequence[int], int]]):
+    """Fastest matcher this process can host: the Pallas arithmetic kernel
+    on TPU when the vocabulary fits its window (its (N, T) score strip
+    never touches HBM), else the XLA conv/arithmetic bank matcher."""
+    if _pallas_chain_available():
+        from ecg_byte_tpu.ops import bpe_match
+
+        try:
+            return bpe_match.build_pallas_matcher(merges)
+        except ValueError:
+            pass  # token too long / id too large for the kernel tables
+    return build_matcher(merges)
+
+
 def encode(q, matcher):
     """Encode symbol stream(s) into BPE token ids on device.
 
     Args:
       q: uint8 [N] or [B, N] quantized symbols (0..25).
-      matcher: a :class:`ConvMatcher` (fast MXU path) or :class:`Automaton`
+      matcher: a :class:`bpe_match.PallasMatcher` (fastest on TPU), a
+        :class:`ConvMatcher` (XLA MXU path), or :class:`Automaton`
         (gather-based alternative backend).
 
     Returns:
@@ -451,7 +481,11 @@ def encode(q, matcher):
         banks_meta = tuple(b[0] for b in matcher.banks)
         bank_arrays = tuple(b[1:] for b in matcher.banks)
         return _encode_conv_impl(q, bank_arrays, matcher.max_len, banks_meta)
-    return _encode_impl(q, matcher.trans, matcher.token, matcher.max_len)
+    if isinstance(matcher, Automaton):
+        return _encode_impl(q, matcher.trans, matcher.token, matcher.max_len)
+    from ecg_byte_tpu.ops import bpe_match
+
+    return bpe_match.encode(q, matcher)
 
 
 def quantize_and_encode(signal, p1, p99, matcher):

@@ -6,7 +6,7 @@ T=3500 — and its greedy chain runs as a 30k-step ``lax.scan`` of tiny ops.
 Both are rebuilt here as Pallas kernels sized to the measured workload
 (canonical tokenizers: max token length <= 16, T <= ~4k):
 
-1. ``match`` kernel (grid (records/8, position-blocks)): instead of one-hot
+1. ``match`` kernel (grid (records, position-blocks)): instead of one-hot
    window/filter banks, matching is an *arithmetic* identity —
 
        sum_{j < len_t} (sym[p+j] - t_j)^2 == 0   <=>   token t matches at p
@@ -15,17 +15,19 @@ Both are rebuilt here as Pallas kernels sized to the measured workload
    and ``q2 = sum sym^2 * 1[j < len_t]`` both come from ONE int8 MXU dot
    against a combined (3W, T) table: the contraction rows hold the raw
    symbol window, the squared-symbol high nibble (weighted 16) and low
-   nibble.  Windows are built from lane-rolled symbol streams stacked on a
-   new minor axis (layouts Mosaic can lower, unlike shifted-slice concats),
-   and the epilogue is clamp + one mad + a lane max — the (M, T) score
-   strip lives and dies in VMEM.
+   nibble.  The Toeplitz window matrix is PREBUILT BY XLA as strided int8
+   copies — (B, 3W, N) is only ~370 MB per 256x30k batch, ~1 ms of HBM
+   traffic — so the kernel does no roll/stack relayouts at all: it DMAs a
+   (3W, TN) window block, runs the int8 dot and the hit epilogue, and the
+   (TN, T) score strip lives and dies in VMEM (materialized to HBM it
+   would be ~110 GB per batch — the XLA conv path's measured bound).
 2. ``chain`` kernel (sequential grid over position blocks, records in
    lanes): the banded greedy-chain recurrence as an in-kernel loop over a
    rolling 16-row window held in scratch — one hardware loop instead of N
    XLA scan steps.
 
-Compaction reuses the scatter formulation of ops/bpe_encode (monotonic
-scatter indices; ~76 ms per 256x30k batch measured clean on v5e).
+Compaction reuses the sort formulation of ops/bpe_encode (distinct
+integer keys via sort_key_val; ~16 ms per 256x30k batch on v5e).
 
 Token streams are byte-exact with the conv matcher and the native trie
 encoder (cross-checked in tests/test_bpe_match.py).
@@ -48,16 +50,18 @@ PAD_SYMBOL = NUM_SYMBOLS  # 26
 PAD_TOKEN = -1
 _PACK = 8192  # packed value: len * _PACK + id  (id < 8192 enforced at build)
 _WINDOW = 16  # chain kernel rolling-window rows (>= max token length)
-_MISS = 1 << 20  # mad subtrahend for non-matching tokens (> max wpack)
-_SENTINEL_C = 10**6  # cadd for padded token columns: never matches
 
 
 class PallasMatcher(NamedTuple):
     """Combined arithmetic match table for the Pallas kernel.
 
     width: padded window width (multiple of 4, >= longest token).
-    filt: int8 (3*width, T) — [-2*t_j | 16*ind_j | ind_j] rows.
-    cadd: int32 (1, T) — sum_j t_j^2 (sentinel for padded columns).
+    filt: int8 (3*width + 3, T) — [-2*t_j | 16*ind_j | ind_j] rows plus
+      three constant-folding rows encoding ``cadd = sum t_j^2`` against
+      window constant rows [64 | 64 | 1] (two 64-rows keep every digit
+      int8 for cadd up to 16*625): the MXU dot then lands at exactly 0 on
+      a hit and the VPU epilogue needs no broadcast add (padded token
+      columns get digit 1 -> score 64, never a hit).
     digits: int8 (T, 2*n_lengths) — token id split into base-128 digits in
       its length's column pair (the id-matmul epilogue contracts the hit
       mask against this on the MXU).
@@ -66,7 +70,6 @@ class PallasMatcher(NamedTuple):
 
     width: int
     filt: jax.Array
-    cadd: jax.Array
     digits: jax.Array
     lengths: Tuple[int, ...]
     max_len: int
@@ -114,22 +117,25 @@ def build_pallas_matcher(
     t_pad = max(256, -(-t // 256) * 256)
     lengths = tuple(sorted({len(s) for s in by_seq} or {2}))
     len_col = {L: i for i, L in enumerate(lengths)}
-    filt = np.zeros((3 * width, t_pad), np.int8)
-    cadd = np.full((1, t_pad), _SENTINEL_C, np.int32)
+    filt = np.zeros((3 * width + 3, t_pad), np.int8)
+    filt[3 * width, :] = 1  # padded columns: constant score 64, never 0
     digits = np.zeros((t_pad, 2 * len(lengths)), np.int8)
     for col, (symbols, token_id) in enumerate(by_seq.items()):
         for j, s in enumerate(symbols):
             filt[j, col] = -2 * s
             filt[width + j, col] = 16
             filt[2 * width + j, col] = 1
-        cadd[0, col] = sum(s * s for s in symbols)
+        cadd = sum(s * s for s in symbols)  # <= 16 * 625 = 10000
+        h = cadd // 64
+        filt[3 * width, col] = h // 2  # against window constant 64
+        filt[3 * width + 1, col] = h - h // 2  # against window constant 64
+        filt[3 * width + 2, col] = cadd % 64  # against window constant 1
         li = len_col[len(symbols)]
         digits[col, 2 * li] = token_id // 128  # ids < 8192 -> digit < 64
         digits[col, 2 * li + 1] = token_id % 128
     return PallasMatcher(
         width=width,
         filt=jnp.asarray(filt),
-        cadd=jnp.asarray(cadd),
         digits=jnp.asarray(digits),
         lengths=lengths,
         max_len=max_len,
@@ -140,108 +146,109 @@ def build_pallas_matcher(
 # Match kernel
 
 
-def _match_kernel(q_ref, qh_ref, filt_ref, cadd_ref, dig_ref, out_ref, *,
-                  width: int, tile_n: int, tile_b: int, strip: int,
-                  lengths: Tuple[int, ...]):
-    halo = 128  # fixed halo keeps lane counts 128-aligned (width <= 128)
-    sym = jnp.concatenate(
-        [q_ref[:], qh_ref[:, :halo]], axis=1
-    )  # (TB, TN + 128) int32
-    span = tile_n + halo
-    sq = sym * sym
-    hi = jax.lax.shift_right_logical(sq, 4)
-    lo = jnp.bitwise_and(sq, 15)
+def _match_kernel(win_ref, filt_ref, dig_ref, out_ref, *,
+                  strip: int, lengths: Tuple[int, ...]):
+    windows = win_ref[0]  # (3W+3, TN) int8 — prebuilt by XLA, no relayouts
 
-    # Lane-rolled streams stacked on a NEW minor axis, then a major-dim-only
-    # reshape — the layouts Mosaic supports (shifted-slice concats and
-    # minor-dim merges are rejected).  Row order matches the filter build:
-    # [sym shifted by j | hi shifted by j | lo shifted by j].
-    def shifted(stream, j):
-        rolled = pltpu.roll(stream, shift=(span - j) % span, axis=1)
-        return jax.lax.slice_in_dim(rolled, 0, tile_n, axis=1)
-
-    slabs = (
-        [shifted(sym, j) for j in range(width)]
-        + [shifted(hi, j) for j in range(width)]
-        + [shifted(lo, j) for j in range(width)]
-    )
-    stacked = jnp.stack(slabs, axis=2)  # (TB, TN, 3W) int32
-    m_rows = tile_b * tile_n
-    # cast after stacking (int8 expand_dims has no Mosaic lowering);
-    # values <= 42 are int8-exact
-    windows = stacked.astype(jnp.int8).reshape(m_rows, 3 * width)
-
-    t_total = cadd_ref.shape[1]
+    t_total = filt_ref.shape[1]
     strip = min(strip, t_total)
     acc = None
     for t0 in range(0, t_total, strip):
         core = jax.lax.dot_general(
-            windows, filt_ref[:, t0 : t0 + strip], (((1,), (0,)), ((), ())),
+            windows, filt_ref[:, t0 : t0 + strip], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # (M, strip) int32 — lives and dies in VMEM
-        hit = (core + cadd_ref[:, t0 : t0 + strip] == 0).astype(jnp.int8)
+        )  # (TN, strip) int32 — lives and dies in VMEM; the constant rows
+        # already folded sum t^2 in, so a hit is exactly core == 0
+        hit = (core == 0).astype(jnp.int8)
         # id-matmul epilogue: contract the hit mask against per-length id
         # digits on the MXU — at most one token of a given length matches
         # a position, so the sums reproduce the digits exactly
         part = jax.lax.dot_general(
             hit, dig_ref[t0 : t0 + strip, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # (M, 2*n_lengths)
+        )  # (TN, 2*n_lengths)
         acc = part if acc is None else acc + part
 
     packed = None
     for li, L in enumerate(lengths):
         hi = jax.lax.slice_in_dim(acc, 2 * li, 2 * li + 1, axis=1)
         lo = jax.lax.slice_in_dim(acc, 2 * li + 1, 2 * li + 2, axis=1)
-        id_l = hi * 128 + lo  # (M, 1); merge ids are >= 256, so 0 = no hit
+        id_l = hi * 128 + lo  # (TN, 1); merge ids are >= 256, so 0 = no hit
         val = jnp.where(id_l > 0, L * _PACK + id_l, 0)
         packed = val if packed is None else jnp.maximum(packed, val)
 
-    flat = jnp.transpose(packed)  # ONE (M,1)->(1,M) relayout
-    rows = [
-        jax.lax.slice_in_dim(flat, b * tile_n, (b + 1) * tile_n, axis=1)
-        for b in range(tile_b)
-    ]
-    out_ref[:] = jnp.concatenate(rows, axis=0)  # (TB, TN)
+    out_ref[:] = jnp.transpose(packed)  # ONE (TN,1)->(1,TN) relayout
 
 
-def longest_match(q, matcher: PallasMatcher, *, tile_n: int = 512,
-                  strip: int = 512, interpret: bool = False):
+def _build_windows(q, width: int):
+    """XLA-side Toeplitz construction: (B, N) symbols -> (B, 3W+3, N) int8.
+
+    Row c*W+j of the window matrix holds feature c of the symbol j ahead —
+    XLA lowers the stack of shifted slices to strided copies (~1 ms per
+    256x30k batch at int8), which is far cheaper than lane-rolling the
+    streams inside the kernel (the round-2 kernel's dominant cost).
+    Features are [sym | sq>>4 | sq&15]: int8-exact, and with weights
+    [-2t | 16 | 1] their dot reproduces ``sum (sym-t)^2`` per the module
+    docstring; three trailing CONSTANT rows [64 | 64 | 1] fold each
+    token's ``sum t^2`` into the same dot (see PallasMatcher.filt).
+    PAD_SYMBOL (26) never equals a token symbol, so windows running past
+    the record end cannot complete a match.
+    """
+    b, n = q.shape
+    sym = jnp.pad(q.astype(jnp.int32), ((0, 0), (0, width)),
+                  constant_values=PAD_SYMBOL)
+    sq = sym * sym
+    feats = (
+        sym.astype(jnp.int8),
+        jax.lax.shift_right_logical(sq, 4).astype(jnp.int8),
+        jnp.bitwise_and(sq, 15).astype(jnp.int8),
+    )
+    rows = [f[:, j : j + n] for f in feats for j in range(width)]
+    const = jnp.ones((b, n), jnp.int8)
+    rows += [const * jnp.int8(64), const * jnp.int8(64), const]
+    return jnp.stack(rows, axis=1)  # (B, 3W+3, N)
+
+
+def longest_match(q, matcher: PallasMatcher, *, tile_n: int = 2048,
+                  strip: int = 4096, interpret: bool = False):
     """(B, N) symbols -> (match_tok, match_len) int32, longest dict token
     per position (single-symbol fallback, ops/bpe_encode semantics)."""
     b, n = q.shape
     q = q.astype(jnp.int32)
-    tile_b = 8
-    b_pad = -(-b // tile_b) * tile_b
-    n_pad = (-(-n // tile_n) + 1) * tile_n  # + one halo block
-    q_padded = jnp.pad(
-        q, ((0, b_pad - b), (0, n_pad - n)), constant_values=PAD_SYMBOL
-    )
-    nb = n_pad // tile_n - 1  # last block is pure halo padding
+    tile_n = min(tile_n, -(-n // 128) * 128)
+    # Records are concatenated into ONE position stream (grid and output
+    # blocks then satisfy Mosaic's (8, 128)-or-full-dim tiling with a
+    # (1, X) layout).  Per-record padding of >= width PAD symbols keeps
+    # windows from leaking across record boundaries.
+    n_pad = -(-n // tile_n) * tile_n
+    if n_pad - n < matcher.width:
+        n_pad += tile_n
+    q_padded = jnp.pad(q, ((0, 0), (0, n_pad - n)), constant_values=PAD_SYMBOL)
+    flat = q_padded.reshape(1, b * n_pad)
+    windows = _build_windows(flat, matcher.width)  # (1, 3W, B*n_pad)
+    nb = b * n_pad // tile_n
 
     kernel = functools.partial(
-        _match_kernel, width=matcher.width, tile_n=tile_n, tile_b=tile_b,
-        strip=strip, lengths=matcher.lengths,
+        _match_kernel, strip=strip, lengths=matcher.lengths,
     )
+    w3 = 3 * matcher.width + 3
     packed = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b_pad, nb * tile_n), jnp.int32),
-        grid=(b_pad // tile_b, nb),
+        out_shape=jax.ShapeDtypeStruct((1, b * n_pad), jnp.int32),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((tile_b, tile_n), lambda bi, i: (bi, i)),
-            pl.BlockSpec((tile_b, tile_n), lambda bi, i: (bi, i + 1)),
-            pl.BlockSpec(matcher.filt.shape, lambda bi, i: (0, 0)),
-            pl.BlockSpec(matcher.cadd.shape, lambda bi, i: (0, 0)),
-            pl.BlockSpec(matcher.digits.shape, lambda bi, i: (0, 0)),
+            pl.BlockSpec((1, w3, tile_n), lambda i: (0, 0, i)),
+            pl.BlockSpec(matcher.filt.shape, lambda i: (0, 0)),
+            pl.BlockSpec(matcher.digits.shape, lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((tile_b, tile_n), lambda bi, i: (bi, i)),
+        out_specs=pl.BlockSpec((1, tile_n), lambda i: (0, i)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,  # v5e has 128 MB VMEM
         ),
         interpret=interpret,
-    )(q_padded, q_padded, matcher.filt, matcher.cadd, matcher.digits)
+    )(windows, matcher.filt, matcher.digits)
 
-    packed = packed[:b, :n]
+    packed = packed.reshape(b, n_pad)[:, :n]
     match_tok = jnp.where(packed > 0, packed % _PACK, q + _BYTE_A)
     match_len = jnp.where(packed > 0, packed // _PACK, 1)
     return match_tok, match_len
@@ -317,12 +324,12 @@ def greedy_chain(match_len, *, tile_rows: int = 2048, interpret: bool = False):
         "width", "max_len", "lengths", "tile_n", "strip", "interpret"
     ),
 )
-def _encode_impl(q, filt, cadd, digits, width, max_len, lengths, tile_n,
+def _encode_impl(q, filt, digits, width, max_len, lengths, tile_n,
                  strip, interpret):
     from ecg_byte_tpu.ops.bpe_encode import _compact
 
     matcher = PallasMatcher(
-        width=width, filt=filt, cadd=cadd, digits=digits, lengths=lengths,
+        width=width, filt=filt, digits=digits, lengths=lengths,
         max_len=max_len,
     )
     squeeze = q.ndim == 1
@@ -338,8 +345,8 @@ def _encode_impl(q, filt, cadd, digits, width, max_len, lengths, tile_n,
     return ids, counts
 
 
-def encode(q, matcher: PallasMatcher, *, tile_n: int = 512, strip: int = 512,
-           interpret: bool = False):
+def encode(q, matcher: PallasMatcher, *, tile_n: int = 2048,
+           strip: int = 4096, interpret: bool = False):
     """Encode symbol stream(s) to BPE ids on device via the Pallas path.
 
     Same contract as ops/bpe_encode.encode: ``q`` uint8 [N] or [B, N],
@@ -347,6 +354,6 @@ def encode(q, matcher: PallasMatcher, *, tile_n: int = 512, strip: int = 512,
     """
     q = jnp.asarray(q)
     return _encode_impl(
-        q, matcher.filt, matcher.cadd, matcher.digits, matcher.width,
+        q, matcher.filt, matcher.digits, matcher.width,
         matcher.max_len, matcher.lengths, tile_n, strip, interpret
     )

@@ -56,8 +56,11 @@ def _disk_cached(name: str, key: tuple, build):
     op = build()
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        tmp = path + f".tmp{os.getpid()}"
-        np.save(tmp, op)
+        # np.save APPENDS .npy when the target lacks it — name the temp
+        # with the suffix up front so the atomic rename source exists
+        tmp = f"{path}.tmp{os.getpid()}.npy"
+        with open(tmp, "wb") as f:
+            np.save(f, op)
         os.replace(tmp, path)
     except OSError:
         pass  # cache is best-effort
