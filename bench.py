@@ -45,15 +45,38 @@ def make_synthetic_records(n, rng, fs=500, length=5000, leads=12):
 
 
 def train_merges(rng, num_merges=3500):
+    import pickle
+    import tempfile
+
     from ecg_byte_tpu.ops.quantize import normalize_quantize, quantized_to_string
     from ecg_byte_tpu.tokenizer import native
 
     recs = make_synthetic_records(20, rng)
     p1, p99 = np.percentile(recs, 1), np.percentile(recs, 99)
+    # the corpus is deterministic (seeded synthetic records), so the
+    # trained tokenizer is a pure function of num_merges — disk-cache the
+    # ~3.5 min C++ training across bench invocations
+    cache = os.path.join(
+        tempfile.gettempdir(), f"ecg_byte_bench_merges_{num_merges}.pkl"
+    )
+    if os.path.exists(cache):
+        try:
+            with open(cache, "rb") as f:
+                return pickle.load(f)
+        except Exception:
+            pass
     _, q = normalize_quantize(recs, p1, p99)
     corpus = "".join(quantized_to_string(np.asarray(qi)) for qi in q).encode()
     _, merges = native.train(corpus, num_merges)
-    return merges, float(p1), float(p99)
+    out = (merges, float(p1), float(p99))
+    try:
+        tmp = f"{cache}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(out, f)
+        os.replace(tmp, cache)
+    except OSError:
+        pass
+    return out
 
 
 # --- reference-style host path -------------------------------------------------
@@ -138,7 +161,7 @@ def tpu_path_factory(merges, p1, p99):
     from ecg_byte_tpu.ops import bpe_encode, dsp
     from ecg_byte_tpu.ops.quantize import normalize_quantize
 
-    matcher = bpe_encode.build_matcher(merges)
+    matcher = bpe_encode.build_best_matcher(merges)
 
     @jax.jit
     def pipeline(adc):
@@ -164,9 +187,11 @@ def bench_preprocess_stages(merges, p1, p99, adc_dev, batch):
     from ecg_byte_tpu.ops import bpe_encode, bpe_match, dsp
     from ecg_byte_tpu.ops.quantize import normalize_quantize
 
-    matcher = bpe_encode.build_matcher(merges)
-    banks_meta = tuple(b[0] for b in matcher.banks)
-    bank_arrays = tuple(b[1:] for b in matcher.banks)
+    matcher = bpe_encode.build_best_matcher(merges)
+    is_pallas = isinstance(matcher, bpe_match.PallasMatcher)
+    if not is_pallas:
+        banks_meta = tuple(b[0] for b in matcher.banks)
+        bank_arrays = tuple(b[1:] for b in matcher.banks)
 
     def timeit(fn, *args, n=6, rounds=3):
         out = fn(*args)
@@ -193,6 +218,8 @@ def bench_preprocess_stages(merges, p1, p99, adc_dev, batch):
 
     @jax.jit
     def stage_match(q):
+        if is_pallas:
+            return bpe_match.longest_match(q, matcher)
         m = bpe_encode.ConvMatcher(
             banks=tuple((l,) + a for l, a in zip(banks_meta, bank_arrays)),
             max_len=matcher.max_len,
@@ -387,10 +414,6 @@ def bench_train(config, params):
     state = create_train_state(
         config, opt, jax.random.PRNGKey(0), peft=True, params=params
     )
-    # remat="dots" (default): save matmul outputs, recompute attention
-    # softmax only — measured 352->324 ms/step at 4x1024 vs full remat
-    # (full-save OOMs: the scan would keep 8 GB of f32 attention logits)
-    step = make_train_step(config, opt, None, remat="dots")
     rng = np.random.default_rng(0)
     ids = np.asarray(rng.integers(0, 1000, (b, s)), np.int32)
     batch = {
@@ -402,8 +425,24 @@ def bench_train(config, params):
     # 324->287 ms/step at 4x1024 (the hardware RngBitGenerator vs the
     # software threefry path); identical distribution, different stream
     key = jax.random.key(1, impl="rbg")
-    state, loss = step(state, batch, key)  # compile + warm
-    float(loss)
+    # remat=False saves every layer's activations — viable since the
+    # resident-attention kernel removed the (S, S) residuals (the scan
+    # used to keep 8 GB of f32 attention logits): measured 234.5 ->
+    # 207.0 ms/step at 4x1024 vs remat="dots" on v5e.  Fall back to
+    # "dots" if this batch does not fit HBM.
+    try:
+        step = make_train_step(config, opt, None, remat=False)
+        state, loss = step(state, batch, key)  # compile + warm
+        float(loss)
+    except Exception as e:
+        print(f"remat=False fell back to dots: {type(e).__name__}",
+              file=sys.stderr)
+        step = make_train_step(config, opt, None, remat="dots")
+        state = create_train_state(  # the failed step may have donated it
+            config, opt, jax.random.PRNGKey(0), peft=True, params=params
+        )
+        state, loss = step(state, batch, key)
+        float(loss)
     n_steps = 6
     t0 = time.perf_counter()
     for _ in range(n_steps):
@@ -439,14 +478,31 @@ def main():
     rng = np.random.default_rng(0)
     from ecg_byte_tpu.tokenizer import native
 
+    # dev aid: ECG_BYTE_BENCH_ONLY=decode|train|preprocess (comma-separable)
+    # limits the run to those metric groups; the driver runs everything.
+    only = {
+        s.strip()
+        for s in os.environ.get("ECG_BYTE_BENCH_ONLY", "").split(",")
+        if s.strip()
+    }
+
+    def wanted(group):
+        return not only or group in only
+
     # flagship decode + train first (they share the 1B-param init)
-    try:
-        config, params = _flagship()
-        print(json.dumps(bench_decode(config, params)))
-        print(json.dumps(bench_train(config, params)))
-        del params
-    except Exception as e:  # keep the headline metric alive on small hosts
-        print(f"flagship decode/train bench skipped: {e}", file=sys.stderr)
+    if wanted("decode") or wanted("train"):
+        try:
+            config, params = _flagship()
+            if wanted("decode"):
+                print(json.dumps(bench_decode(config, params)))
+            if wanted("train"):
+                print(json.dumps(bench_train(config, params)))
+            del params
+        except Exception as e:  # keep the headline metric alive on small hosts
+            print(f"flagship decode/train bench skipped: {e}", file=sys.stderr)
+
+    if not wanted("preprocess"):
+        return
 
     merges, p1, p99 = train_merges(rng, num_merges=3500)
     encoder = native.NativeEncoder(merges)
