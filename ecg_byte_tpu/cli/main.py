@@ -26,6 +26,7 @@ from ecg_byte_tpu.data import DataConfig, DataLoader, ECGTokenDataset
 from ecg_byte_tpu.infer import greedy_generate
 from ecg_byte_tpu.infer.evaluate import tester
 from ecg_byte_tpu.models import lora as lora_lib
+from ecg_byte_tpu.models.quantized import quantize_lm_int8
 from ecg_byte_tpu.parallel import make_mesh
 from ecg_byte_tpu.tokenizer import load_vocab_and_merges
 from ecg_byte_tpu.train import create_train_state, make_eval_step, make_train_step
@@ -94,6 +95,11 @@ def get_args():
                              'batch 1) while the weight stream amortizes '
                              'across the batch')
     parser.add_argument('--data_root', type=str, default='./data')
+    parser.add_argument('--int8_decode', action='store_true',
+                        help='weight-only int8 serving copy for decode: '
+                             '~half the streamed bytes per token '
+                             '(beyond-reference mode; outputs are close '
+                             'to but not bitwise-equal with bf16)')
     parser.add_argument('--no_merge_lora', action='store_true',
                         help='keep LoRA adapters attached at inference '
                              'instead of folding them into the base weights '
@@ -253,6 +259,16 @@ def main():
                 infer["lora"] = None
             else:
                 infer["params"], infer["lora"] = state.full_params(), state.lora()
+            if args.int8_decode:
+                if infer["lora"] is not None:
+                    raise SystemExit(
+                        "--int8_decode requires merged adapters; drop "
+                        "--no_merge_lora"
+                    )
+                # weight-only int8 serving copy: decode streams half the
+                # bytes per token (models/quantized.py; opt-in, outputs
+                # close-but-not-bitwise-equal to bf16)
+                infer["params"] = quantize_lm_int8(infer["params"], config)
             seed_results = tester(
                 generate_fn, test_loader, dev=args.dev
             )

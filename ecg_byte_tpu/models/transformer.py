@@ -200,10 +200,23 @@ def _act(x, kind: str):
     return jax.nn.gelu(x, approximate=True)
 
 
+def _kernel_matmul(x, p):
+    """``x @ kernel``, transparently consuming int8 serving entries.
+
+    ``models/quantized.py`` trees carry ``kernel_q`` (int8) +
+    ``kernel_scale`` instead of ``kernel``; the dequant multiply fuses
+    into the dot's operand read so only int8 bytes stream from HBM —
+    the point of the weight-only decode mode.
+    """
+    if "kernel_q" in p:
+        return x @ (p["kernel_q"].astype(x.dtype) * p["kernel_scale"])
+    return x @ p["kernel"]
+
+
 def _proj(x, layer_p, name, lora_p, config: TransformerConfig, dropout_rng):
     """Dense projection with optional LoRA overlay (models/lora.py trees)."""
     p = layer_p[name]
-    y = x @ p["kernel"]
+    y = _kernel_matmul(x, p)
     if "bias" in p:
         y = y + p["bias"]
     if lora_p is not None and name in lora_p:
@@ -256,7 +269,7 @@ def _proj_group(x, layer_p, names, lora_p, config: TransformerConfig,
         scale = config.lora_alpha / config.lora_rank
     for i, name in enumerate(names):
         p = layer_p[name]
-        y = x @ p["kernel"]
+        y = _kernel_matmul(x, p)
         if "bias" in p:
             y = y + p["bias"]
         if use_lora:
@@ -392,7 +405,11 @@ def _inputs_to_hidden(params, config, input_ids, position_ids, inputs_embeds):
 
 def _unembed(params, config: TransformerConfig, h):
     hn = _norm(h, params["final_norm"], params.get("final_norm_bias"), config)
-    if config.tie_word_embeddings:
+    if "lm_head_q" in params:  # int8 serving copy (models/quantized.py)
+        logits = hn @ (
+            params["lm_head_q"].astype(hn.dtype) * params["lm_head_scale"]
+        )
+    elif config.tie_word_embeddings:
         logits = hn @ params["embed"].T
     else:
         logits = hn @ params["lm_head"]
