@@ -209,7 +209,12 @@ def _kernel_matmul(x, p):
     the point of the weight-only decode mode.
     """
     if "kernel_q" in p:
-        return x @ (p["kernel_q"].astype(x.dtype) * p["kernel_scale"])
+        # scale AFTER the dot: int8 values are bf16-exact, so the matmul
+        # accumulates the exact integer products in f32 and the
+        # per-output-channel scale applies once per output element —
+        # better numerics than rounding q*scale into bf16 weights, and a
+        # cheaper fused epilogue
+        return (x @ p["kernel_q"].astype(x.dtype)) * p["kernel_scale"]
     return x @ p["kernel"]
 
 
@@ -406,9 +411,9 @@ def _inputs_to_hidden(params, config, input_ids, position_ids, inputs_embeds):
 def _unembed(params, config: TransformerConfig, h):
     hn = _norm(h, params["final_norm"], params.get("final_norm_bias"), config)
     if "lm_head_q" in params:  # int8 serving copy (models/quantized.py)
-        logits = hn @ (
-            params["lm_head_q"].astype(hn.dtype) * params["lm_head_scale"]
-        )
+        logits = (
+            hn @ params["lm_head_q"].astype(hn.dtype)
+        ) * params["lm_head_scale"]
     elif config.tie_word_embeddings:
         logits = hn @ params["embed"].T
     else:
