@@ -114,6 +114,28 @@ def test_resident_sharded_matches_single_device():
     )
 
 
+def test_resident_grads_under_remat():
+    """jax.checkpoint around the custom-VJP kernel (the train step wraps
+    layers in remat policies) must reproduce the unwrapped gradients."""
+    b, s, kh, g, d, block_m = 1, 128, 2, 2, 64, 256
+    q, k, v, pad_mask = _make_inputs(b, s, kh, g, d, seed=11)
+    qg = q.reshape(b, s, kh, g, d)
+
+    def loss(qg, k, v):
+        out = attention_resident.resident_attention(
+            qg, k, v, pad_mask, block_m, True
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_plain = jax.grad(loss, argnums=(0, 1, 2))(qg, k, v)
+    g_remat = jax.grad(jax.checkpoint(loss), argnums=(0, 1, 2))(qg, k, v)
+    for a, bb in zip(g_plain, g_remat):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            atol=1e-3, rtol=1e-3,
+        )
+
+
 def test_supported_gate():
     assert attention_resident.supported((4, 1024, 8, 4, 64), jnp.bfloat16)
     assert not attention_resident.supported((4, 1024, 8, 4, 64), jnp.float32)
