@@ -62,9 +62,9 @@ class PallasMatcher(NamedTuple):
       int8 for cadd up to 16*625): the MXU dot then lands at exactly 0 on
       a hit and the VPU epilogue needs no broadcast add (padded token
       columns get digit 1 -> score 64, never a hit).
-    digits: int8 (T, 2*n_lengths) — token id split into base-128 digits in
-      its length's column pair (the id-matmul epilogue contracts the hit
-      mask against this on the MXU).
+    digits: int8 (2*n_lengths, T) — token id split into base-128 digits
+      in its length's row pair (the id-matmul epilogue contracts the hit
+      mask against this on the MXU, positions on the lane axis).
     lengths: static tuple of the distinct token lengths, ascending.
     """
 
@@ -119,7 +119,7 @@ def build_pallas_matcher(
     len_col = {L: i for i, L in enumerate(lengths)}
     filt = np.zeros((3 * width + 3, t_pad), np.int8)
     filt[3 * width, :] = 1  # padded columns: constant score 64, never 0
-    digits = np.zeros((t_pad, 2 * len(lengths)), np.int8)
+    digits = np.zeros((2 * len(lengths), t_pad), np.int8)
     for col, (symbols, token_id) in enumerate(by_seq.items()):
         for j, s in enumerate(symbols):
             filt[j, col] = -2 * s
@@ -131,8 +131,8 @@ def build_pallas_matcher(
         filt[3 * width + 1, col] = h - h // 2  # against window constant 64
         filt[3 * width + 2, col] = cadd % 64  # against window constant 1
         li = len_col[len(symbols)]
-        digits[col, 2 * li] = token_id // 128  # ids < 8192 -> digit < 64
-        digits[col, 2 * li + 1] = token_id % 128
+        digits[2 * li, col] = token_id // 128  # ids < 8192 -> digit < 64
+        digits[2 * li + 1, col] = token_id % 128
     return PallasMatcher(
         width=width,
         filt=jnp.asarray(filt),
@@ -154,30 +154,35 @@ def _match_kernel(win_ref, filt_ref, dig_ref, out_ref, *,
     strip = min(strip, t_total)
     acc = None
     for t0 in range(0, t_total, strip):
+        # TRANSPOSED dataflow: core is (T, TN), so the id contraction's
+        # output puts positions on the LANE axis (fully used at TN=2048)
+        # instead of padding 2*n_lengths columns to 128 lanes — ~4x less
+        # wasted MXU work in the epilogue, and the packed result is
+        # already a (1, TN) row (no output relayout).
         core = jax.lax.dot_general(
-            windows, filt_ref[:, t0 : t0 + strip], (((0,), (0,)), ((), ())),
+            filt_ref[:, t0 : t0 + strip], windows, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # (TN, strip) int32 — lives and dies in VMEM; the constant rows
+        )  # (strip, TN) int32 — lives and dies in VMEM; the constant rows
         # already folded sum t^2 in, so a hit is exactly core == 0
         hit = (core == 0).astype(jnp.int8)
         # id-matmul epilogue: contract the hit mask against per-length id
         # digits on the MXU — at most one token of a given length matches
         # a position, so the sums reproduce the digits exactly
         part = jax.lax.dot_general(
-            hit, dig_ref[t0 : t0 + strip, :], (((1,), (0,)), ((), ())),
+            dig_ref[:, t0 : t0 + strip], hit, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # (TN, 2*n_lengths)
+        )  # (2*n_lengths, TN)
         acc = part if acc is None else acc + part
 
     packed = None
     for li, L in enumerate(lengths):
-        hi = jax.lax.slice_in_dim(acc, 2 * li, 2 * li + 1, axis=1)
-        lo = jax.lax.slice_in_dim(acc, 2 * li + 1, 2 * li + 2, axis=1)
-        id_l = hi * 128 + lo  # (TN, 1); merge ids are >= 256, so 0 = no hit
+        hi = jax.lax.slice_in_dim(acc, 2 * li, 2 * li + 1, axis=0)
+        lo = jax.lax.slice_in_dim(acc, 2 * li + 1, 2 * li + 2, axis=0)
+        id_l = hi * 128 + lo  # (1, TN); merge ids are >= 256, so 0 = no hit
         val = jnp.where(id_l > 0, L * _PACK + id_l, 0)
         packed = val if packed is None else jnp.maximum(packed, val)
 
-    out_ref[:] = jnp.transpose(packed)  # ONE (TN,1)->(1,TN) relayout
+    out_ref[:] = packed  # (1, TN), already position-major
 
 
 def _build_windows(q, width: int):
