@@ -74,6 +74,33 @@ def test_long_tokens_fail_loudly():
         bpe_match.build_pallas_matcher(merges, max_width=32)
 
 
+def test_boundary_vocabulary_exact():
+    """Kernel-table boundary cases: a token of exactly _WINDOW symbols
+    (max cadd digits), id at the 8191 packing limit, and an all-'a'
+    token (cadd == 0 — the hit constant must still distinguish it from
+    padded table columns)."""
+    w = bpe_match._WINDOW
+    a = ord("a")
+    merges = [
+        (tuple(a + (i % 26) for i in range(w)), 300),  # length == _WINDOW
+        ((a, a), 8191),  # id at the packing limit; cadd == 0
+        ((a + 1, a + 2, a + 1), 270),
+    ]
+    pm = bpe_match.build_pallas_matcher(merges)
+    assert pm.max_len == w
+    enc = native.NativeEncoder(merges)
+    rng = np.random.default_rng(5)
+    q = (rng.integers(0, 3, size=(2, 4 * w))).astype(np.uint8)  # a/b/c heavy
+    q[0, :w] = [(i % 26) for i in range(w)]  # plant the long token
+    ids, cnt = bpe_match.encode(q, pm, tile_n=128, interpret=True)
+    for i, row in enumerate(np.asarray(q)):
+        want = [int(t) for t in enc.encode(quantized_to_string(row).encode())]
+        got = [int(t) for t in np.asarray(ids)[i][: int(cnt[i])]]
+        assert got == want
+    with pytest.raises(ValueError, match="packing limit"):
+        bpe_match.build_pallas_matcher([((a, a), 8192)])
+
+
 def test_chain_matches_scan(toy):
     merges, q = toy
     cm = bpe_encode.build_matcher(merges)
