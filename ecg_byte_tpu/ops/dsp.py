@@ -204,11 +204,15 @@ def preprocess_records(
     Returns:
       float32 [..., leads, time * target_fs / fs].
     """
+    from ecg_byte_tpu.ops.wavelet import wavelet_denoise_fused
+
     x = check_nan_inf(jnp.asarray(signals, jnp.float32))
     if do_reorder:
         x = reorder_leads(x)
     x = check_nan_inf(advanced_ecg_filter(x, fs=fs))
-    x = check_nan_inf(wavelet_denoise(x))
+    # operator-form denoise: two MXU matmuls instead of the conv chain
+    # (same math; parity-tested against wavelet_denoise)
+    x = check_nan_inf(wavelet_denoise_fused(x))
     if target_fs != fs:
         x = nsample_ecg(x, fs, target_fs)
     return check_nan_inf(x)

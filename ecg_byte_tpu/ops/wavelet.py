@@ -73,6 +73,12 @@ def _symmetric_extend(x: jax.Array, pad: int) -> jax.Array:
     if pad == 0:
         return x
     n = x.shape[-1]
+    if pad <= n:
+        # flip+concat (plain copies) instead of a constant-index gather —
+        # TPU lowers gathers an order of magnitude slower than slices
+        left = jnp.flip(x[..., :pad], -1)
+        right = jnp.flip(x[..., n - pad :], -1)
+        return jnp.concatenate([left, x, right], -1)
     idx = np.arange(-pad, n + pad)
     idx = np.mod(idx, 2 * n)
     idx = np.where(idx >= n, 2 * n - 1 - idx, idx)
@@ -122,8 +128,12 @@ def idwt(
     L = filters.dec_len
 
     def up(c):
-        u = jnp.zeros(c.shape[:-1] + (c.shape[-1] * 2,), c.dtype)
-        return u.at[..., ::2].set(c)
+        # zero-interleave via stack+reshape: a pure relayout, not the
+        # strided scatter ``.at[::2].set`` lowers to (gather-class on TPU)
+        z = jnp.zeros_like(c)
+        return jnp.stack([c, z], axis=-1).reshape(
+            c.shape[:-1] + (c.shape[-1] * 2,)
+        )
 
     ua, ud = up(ca), up(cd)
     pad = jnp.zeros(ua.shape[:-1] + (L - 1,), ua.dtype)
@@ -173,6 +183,92 @@ def waverec(
 def soft_threshold(c: jax.Array, threshold) -> jax.Array:
     """pywt.threshold(..., mode='soft'): sign(x) * max(|x| - t, 0)."""
     return jnp.sign(c) * jnp.maximum(jnp.abs(c) - threshold, 0.0)
+
+
+@functools.lru_cache(maxsize=4)
+def wavelet_operators(n: int, level: int = 4, p: int = 6):
+    """Precomputed (analysis, synthesis) matrices for the fixed-length DWT.
+
+    ``wavedec``/``waverec`` are LINEAR — for the fixed record lengths of
+    this pipeline they collapse into two matmuls: ``coeffs = x @ W_dec^T``
+    and ``rec = coeffs @ W_rec^T`` with only the (data-dependent) soft
+    threshold between.  The conv-chain formulation costs ~15-25 ms per
+    256x30k batch on v5e in small-channel convolutions and interleave
+    relayouts; the operator form is two MXU matmuls (~5 ms) — the same
+    trade ops/dsp.py makes for filtfilt and the cubic resample.
+
+    Built by pushing identity matrices through the conv implementation on
+    the host CPU backend (so the operator IS the conv path, bit-for-bit
+    up to f32 summation order), disk-cached next to the dsp operators.
+
+    Returns ``(w_dec (total, n), w_rec (n, total), seg_lens)``.
+    """
+    from ecg_byte_tpu.ops.dsp import _disk_cached
+
+    filters = daubechies(p)
+
+    def build():
+        # escape any enclosing jit trace: the identity push must run
+        # eagerly (host CPU backend) even when the operator is first
+        # requested inside a traced pipeline
+        cpu = jax.devices("cpu")[0]
+        with jax.ensure_compile_time_eval(), jax.default_device(cpu):
+            eye = jnp.eye(n, dtype=jnp.float32)
+            coeffs = wavedec(eye, filters, level)  # [(n, len_i)...]
+            seg = [int(c.shape[-1]) for c in coeffs]
+            w_dec = np.concatenate(
+                [np.asarray(c) for c in coeffs], axis=-1
+            ).T  # (total, n)
+            total = sum(seg)
+            eye_c = jnp.eye(total, dtype=jnp.float32)
+            parts = jnp.split(eye_c, np.cumsum(seg)[:-1].tolist(), axis=-1)
+            lengths = dec_lengths(n, filters.dec_len, level)
+            w_rec = np.asarray(
+                waverec(list(parts), filters, lengths)
+            ).T  # (n, total)
+        # pack both into one cacheable array: [w_dec | w_rec^T] rows
+        return np.concatenate([w_dec, w_rec.T], axis=0).astype(np.float32)
+
+    packed = _disk_cached("wavelet", (n, level, p), build)
+    # segment lengths are a pure function of (n, level, p)
+    seg_lens = []
+    m = n
+    for _ in range(level):
+        m = (m + filters.dec_len - 1) // 2
+        seg_lens.append(m)
+    seg_lens = [seg_lens[-1]] + seg_lens[::-1]  # [cA_L, cD_L, ..., cD_1]
+    total = sum(seg_lens)
+    # return NUMPY arrays: the lru_cache is shared across jit traces, and a
+    # jnp constant created inside one trace is trace-bound (leaked-tracer
+    # error on reuse); apply_operator converts at use
+    w_dec = packed[:total]
+    w_rec = np.ascontiguousarray(packed[total:].T)
+    return w_dec, w_rec, tuple(seg_lens)
+
+
+def wavelet_denoise_fused(
+    x: jax.Array, level: int = 4, p: int = 6, epsilon: float = 1e-10
+) -> jax.Array:
+    """Operator-form :func:`wavelet_denoise`: matmul -> threshold -> matmul.
+
+    Same math and threshold semantics; the two transforms run on the MXU
+    via :func:`wavelet_operators`."""
+    from ecg_byte_tpu.ops.dsp import apply_operator
+
+    w_dec, w_rec, seg = wavelet_operators(x.shape[-1], level, p)
+    c = apply_operator(x, w_dec)  # (..., total)
+    ca_len = seg[0]
+    details = c[..., ca_len:]
+    cd_level = c[..., ca_len : ca_len + seg[1]]
+    median_abs = jnp.median(jnp.abs(cd_level), axis=-1, keepdims=True)
+    threshold = jnp.where(median_abs == 0, 0.0, median_abs / 0.6745)
+    th = soft_threshold(details, threshold)
+    keep = jnp.isfinite(th) & (jnp.abs(details) > epsilon)
+    c = jnp.concatenate(
+        [c[..., :ca_len], jnp.where(keep, th, 0.0)], axis=-1
+    )
+    rec = apply_operator(c, w_rec)  # w_rec is (out, in) already
+    return jnp.nan_to_num(rec, nan=0.0, posinf=0.0, neginf=0.0)
 
 
 def wavelet_denoise(

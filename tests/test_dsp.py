@@ -141,3 +141,21 @@ def test_preprocess_records_pipeline():
     x[0, 0, 10] = np.nan
     out = np.asarray(dsp.preprocess_records(x, fs=500.0, target_fs=250.0))
     assert np.all(np.isfinite(out))
+
+
+def test_wavelet_fused_matches_conv_path():
+    """Operator-form denoise == conv-chain denoise (the pipeline default
+    vs the reference-shaped implementation), including the data-dependent
+    threshold and the zero-signal edge case."""
+    from ecg_byte_tpu.ops import wavelet as W
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(3, 12, 700)).astype(np.float32).cumsum(axis=-1)
+    a = np.asarray(W.wavelet_denoise(x))
+    b = np.asarray(W.wavelet_denoise_fused(x))
+    scale = np.abs(a).max() + 1e-9
+    # f32 summation-order budget (measured ~6e-5 worst-case on random
+    # walks; the conv path's own f32-vs-pywt-f64 budget is looser)
+    np.testing.assert_allclose(b / scale, a / scale, atol=3e-4)
+    z = np.asarray(W.wavelet_denoise_fused(np.zeros((1, 512), np.float32)))
+    assert np.all(z == 0)
