@@ -67,6 +67,21 @@ def _disk_cached(name: str, key: tuple, build):
     return op
 
 
+def as_device_constant(op) -> jax.Array:
+    """Eagerly commit an operator matrix to the default device.
+
+    A numpy operand closed over by a jitted function is inlined into the
+    HLO as a literal — at 100 MB per operator the pipeline's compile
+    payload blows past the remote-compile request limit (HTTP 413 on the
+    axon tunnel).  A concrete jax.Array instead lowers as a captured
+    PARAMETER.  ``ensure_compile_time_eval`` makes the upload eager even
+    when the operator is first requested inside a trace, so the cached
+    array is a real buffer, never a trace-bound constant.
+    """
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(op)
+
+
 @functools.lru_cache(maxsize=8)
 def filtfilt_operator(
     n: int,
@@ -98,7 +113,7 @@ def filtfilt_operator(
         return np.ascontiguousarray(T, dtype=np.float32)
 
     key = (n, fs, notch_freqs, highcut, lowcut, baseline_cutoff, order)
-    return _disk_cached("filtfilt", key, build)
+    return as_device_constant(_disk_cached("filtfilt", key, build))
 
 
 @functools.lru_cache(maxsize=8)
@@ -123,7 +138,9 @@ def resample_operator(n: int, orig_fs: float, target_fs: float) -> np.ndarray:
         )
         return np.ascontiguousarray(f(t_target), dtype=np.float32)
 
-    return _disk_cached("resample", (n, orig_fs, target_fs), build)
+    return as_device_constant(
+        _disk_cached("resample", (n, orig_fs, target_fs), build)
+    )
 
 
 def apply_operator(x: jax.Array, op, precision=jax.lax.Precision.HIGH) -> jax.Array:
@@ -186,6 +203,39 @@ def segment_ecg(x: jax.Array, seg_len: int) -> jax.Array:
     return jnp.moveaxis(parts, -2, -3)
 
 
+@functools.lru_cache(maxsize=4)
+def preprocess_operators(
+    n: int, fs: float, target_fs: float, level: int = 4, p: int = 6
+):
+    """Fold the pipeline's linear stages into TWO operators.
+
+    Everything around the wavelet soft-threshold is linear:
+    ``combined_dec = W_dec @ F`` (filtfilt chain then wavelet analysis,
+    (total, n)) and ``combined_rec = R @ W_rec`` (wavelet synthesis then
+    cubic resample, (m, total)).  The whole preprocess is then
+    matmul -> threshold -> matmul — fewer passes over the batch AND a
+    smaller compile payload (~150 MB of operator constants vs ~350 MB
+    with four separate matrices, which overflowed the axon
+    remote-compile request limit).
+
+    Combination happens on the host in float64 over the f32 stage
+    operators, so each stage keeps its scipy-exact build.
+    """
+    from ecg_byte_tpu.ops.wavelet import wavelet_operators
+
+    f_op = np.asarray(filtfilt_operator(n, fs))  # (n, n)
+    w_dec, w_rec, seg = wavelet_operators(n, level, p)
+    w_dec = np.asarray(w_dec).astype(np.float64)
+    w_rec = np.asarray(w_rec).astype(np.float64)
+    dec = (w_dec @ f_op.astype(np.float64)).astype(np.float32)
+    if target_fs != fs:
+        r_op = np.asarray(resample_operator(n, fs, target_fs))  # (m, n)
+        rec = (r_op.astype(np.float64) @ w_rec).astype(np.float32)
+    else:
+        rec = w_rec.astype(np.float32)
+    return as_device_constant(dec), as_device_constant(rec), seg
+
+
 @functools.partial(jax.jit, static_argnames=("fs", "target_fs", "do_reorder"))
 def preprocess_records(
     signals: jax.Array,
@@ -204,15 +254,23 @@ def preprocess_records(
     Returns:
       float32 [..., leads, time * target_fs / fs].
     """
-    from ecg_byte_tpu.ops.wavelet import wavelet_denoise_fused
+    from ecg_byte_tpu.ops.wavelet import soft_threshold
 
     x = check_nan_inf(jnp.asarray(signals, jnp.float32))
     if do_reorder:
         x = reorder_leads(x)
-    x = check_nan_inf(advanced_ecg_filter(x, fs=fs))
-    # operator-form denoise: two MXU matmuls instead of the conv chain
-    # (same math; parity-tested against wavelet_denoise)
-    x = check_nan_inf(wavelet_denoise_fused(x))
-    if target_fs != fs:
-        x = nsample_ecg(x, fs, target_fs)
+    # the whole linear pipeline folds into two operators around the
+    # wavelet soft-threshold (see preprocess_operators); threshold
+    # semantics identical to wavelet_denoise_fused/wavelet_denoise
+    dec_op, rec_op, seg = preprocess_operators(x.shape[-1], fs, target_fs)
+    c = apply_operator(x, dec_op)
+    ca_len = seg[0]
+    details = c[..., ca_len:]
+    cd_level = c[..., ca_len : ca_len + seg[1]]
+    median_abs = jnp.median(jnp.abs(cd_level), axis=-1, keepdims=True)
+    threshold = jnp.where(median_abs == 0, 0.0, median_abs / 0.6745)
+    th = soft_threshold(details, threshold)
+    keep = jnp.isfinite(th) & (jnp.abs(details) > 1e-10)
+    c = jnp.concatenate([c[..., :ca_len], jnp.where(keep, th, 0.0)], axis=-1)
+    x = apply_operator(c, rec_op, precision=jax.lax.Precision.HIGHEST)
     return check_nan_inf(x)

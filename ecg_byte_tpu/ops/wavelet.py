@@ -238,11 +238,14 @@ def wavelet_operators(n: int, level: int = 4, p: int = 6):
         seg_lens.append(m)
     seg_lens = [seg_lens[-1]] + seg_lens[::-1]  # [cA_L, cD_L, ..., cD_1]
     total = sum(seg_lens)
-    # return NUMPY arrays: the lru_cache is shared across jit traces, and a
-    # jnp constant created inside one trace is trace-bound (leaked-tracer
-    # error on reuse); apply_operator converts at use
-    w_dec = packed[:total]
-    w_rec = np.ascontiguousarray(packed[total:].T)
+    # eager device arrays: concrete buffers are safe to reuse across jit
+    # traces (a jnp constant created inside a trace is trace-bound) AND
+    # lower as captured parameters instead of 100-MB HLO literals (which
+    # overflow the remote-compile request limit)
+    from ecg_byte_tpu.ops.dsp import as_device_constant
+
+    w_dec = as_device_constant(packed[:total])
+    w_rec = as_device_constant(np.ascontiguousarray(packed[total:].T))
     return w_dec, w_rec, tuple(seg_lens)
 
 
