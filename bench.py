@@ -30,6 +30,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent XLA compile cache: flagship compiles take minutes on this
+# host class, and every metric re-runs the same shapes (set before any
+# jax import; harmless when already configured by the caller)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 
 
 def make_synthetic_records(n, rng, fs=500, length=5000, leads=12):
