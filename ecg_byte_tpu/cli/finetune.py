@@ -65,6 +65,9 @@ def get_args():
                         help='stage-1 checkpoint dir (reference --first_check)')
     parser.add_argument('--log', action='store_true')
     parser.add_argument('--dis', action='store_true')
+    parser.add_argument('--int8_decode', action='store_true',
+                        help='weight-only int8 serving copy of the merged '
+                             'LLM for stage-2 inference (models/quantized.py)')
     parser.add_argument('--toy', action='store_true')
     parser.add_argument('--pad_to_max', type=int, default=1022)
     parser.add_argument('--num_merges', type=int, default=3500)
@@ -233,6 +236,8 @@ def main():
         loader = DataLoader(ds, batch_size=1, shuffle=False, pad_id=pad_id)
         ckpt_dir = f"./runs/{args.seed}/{args.checkpoint}"
 
+        infer = {"params": llm_params, "lora": None}
+
         def generate_fn(batch):
             # bucket prompt lengths to multiples of 64 to avoid per-length
             # recompilation of the decode program
@@ -250,8 +255,8 @@ def main():
                 )
             db = to_device_batch(batch)
             out = fus.fusion_generate(
-                llm_params, llm_config, trainable["fusion"], args.model, db,
-                sig_id, lora=trainable["lora"], encoders=encoders,
+                infer["params"], llm_config, trainable["fusion"], args.model,
+                db, sig_id, lora=infer["lora"], encoders=encoders,
                 max_new_tokens=128, eos_token_id=eos_id, pad_token_id=pad_id,
             )
             toks = [int(t) for t in np.asarray(out[0])]
@@ -267,6 +272,20 @@ def main():
             set_seed(seed)
             loaded, _ = load_checkpoint(ckpt_dir, "best_model", trainable)
             trainable.update(loaded)
+            if args.int8_decode:
+                # fold the stage-2 adapters into the base, then serve int8
+                # (embedding splice table stays exact bf16)
+                from ecg_byte_tpu.models.quantized import quantize_lm_int8
+
+                infer["params"] = quantize_lm_int8(
+                    lora_lib.merge_lora(
+                        llm_params, trainable["lora"], llm_config
+                    ),
+                    llm_config,
+                )
+                infer["lora"] = None
+            else:
+                infer["params"], infer["lora"] = llm_params, trainable["lora"]
             res = tester(generate_fn, loader, two_stage=True, dev=args.dev)
             all_results.append(res)
             with open(f"{ckpt_dir}/seed_{seed}_results_{args.dataset}.json", "w") as f:

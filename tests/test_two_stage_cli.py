@@ -84,6 +84,12 @@ def test_finetune_train_and_inference(workdir):
         open(workdir / "runs/0" / stage2[0] / "seed_42_results_ptb_500.json")
     )
     assert "averages" in res
+    # int8 serving mode: merged adapters quantized, embeds splice exact
+    out = _run(
+        args + ["--inference", "--checkpoint", stage2[0], "--int8_decode"],
+        cwd=workdir,
+    )
+    assert "Inference Complete" in out
 
 
 def test_pretrain_resnet_data_parallel(workdir):
