@@ -13,13 +13,15 @@ Both are rebuilt here as Pallas kernels sized to the measured workload
 
    expanded per token into ``qt + q2 + C_t`` where ``qt = -2 sum sym*t_j``
    and ``q2 = sum sym^2 * 1[j < len_t]`` both come from ONE int8 MXU dot
-   against a combined (3W, T) table: the contraction rows hold the raw
-   symbol window, the squared-symbol high nibble (weighted 16) and low
-   nibble.  The Toeplitz window matrix is PREBUILT BY XLA as strided int8
-   copies — (B, 3W, N) is only ~370 MB per 256x30k batch, ~1 ms of HBM
-   traffic — so the kernel does no roll/stack relayouts at all: it DMAs a
-   (3W, TN) window block, runs the int8 dot and the hit epilogue, and the
-   (TN, T) score strip lives and dies in VMEM (materialized to HBM it
+   against a combined (3W+3, T) table: the contraction rows hold the raw
+   symbol window, the squared-symbol high nibble (weighted 16), the low
+   nibble, and three constant rows folding each token's ``sum t^2``.  The
+   Toeplitz window matrix is PREBUILT BY XLA as strided int8 copies —
+   (B, 3W+3, N) is only ~300 MB per 256x30k batch, ~1 ms of HBM traffic —
+   so the kernel does no roll/stack relayouts at all: it DMAs a
+   (3W+3, TN) window block, runs the int8 dot and the id epilogue in a
+   TRANSPOSED dataflow (score strip (T, TN), positions on the lane axis),
+   and the score strip lives and dies in VMEM (materialized to HBM it
    would be ~110 GB per batch — the XLA conv path's measured bound).
 2. ``chain`` kernel (sequential grid over position blocks, records in
    lanes): the banded greedy-chain recurrence as an in-kernel loop over a
