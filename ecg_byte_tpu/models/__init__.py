@@ -8,3 +8,7 @@ from ecg_byte_tpu.models.config import (  # noqa: F401
     gpt2_xl,
     tiny_test_config,
 )
+from ecg_byte_tpu.models.quantized import (  # noqa: F401
+    dequantize_kernel,
+    quantize_lm_int8,
+)
