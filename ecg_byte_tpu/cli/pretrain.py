@@ -58,6 +58,10 @@ def get_args():
     parser.add_argument('--image_size', type=int, default=224)
     parser.add_argument('--tiny', action='store_true',
                         help='tiny backbone configs for smoke tests')
+    parser.add_argument('--text_encoder', type=str, default=None,
+                        help='local MedCPT/BERT checkpoint dir for the '
+                             'frozen MERL text tower (vocab.txt tokenized '
+                             'by the in-repo WordPiece)')
     return parser.parse_args()
 
 
@@ -132,7 +136,9 @@ def build_backbone(args, rng):
             spacial_dim=int(feat_shape.shape[-1]),
         )
         params = {"resnet": rp, "head": head}
-        text_encoder = enc.load_frozen_text_encoder()
+        text_encoder = enc.load_frozen_text_encoder(
+            getattr(args, "text_encoder", None)
+        )
 
         def loss_fn(p, bn_state, batch, rng):
             # meta (python structure) is closed over; only bn_state is traced
@@ -180,6 +186,11 @@ def main():
     trainable, static, loss_fn, hidden = build_backbone(args, rng)
 
     tokenizer = ByteTextTokenizer()
+    # resnet/MERL with a real MedCPT checkpoint: tokenize the reports with
+    # the checkpoint's own WordPiece vocab (merl.py:197-201 semantics)
+    enc_tok = getattr(getattr(loss_fn, "text_encoder", None), "tokenizer", None)
+    if enc_tok is not None:
+        tokenizer = enc_tok
     vcfg_patches = ((args.image_size // (args.image_size // 4 if args.tiny else 16)) ** 2)
     data_cfg = TwoStageConfig(
         dataset=args.dataset, model=args.model, percentiles=args.percentiles,

@@ -337,20 +337,33 @@ def translate_reports(texts, model_dir: Optional[str] = None):
         )
         return texts
 
-    import torch
-    from transformers import AutoModelForSeq2SeqLM, AutoTokenizer
+    # torch-free path: the JAX Marian port (models/marian.py) + native
+    # sentencepiece segmentation (tokenizer/sp_model.py); greedy decode in
+    # one jitted program per batch (batch 32 / max_length 128, matching
+    # the reference's generate call)
+    from ecg_byte_tpu.models.marian import greedy_generate, load_hf_marian
+    from ecg_byte_tpu.tokenizer.sp_model import MarianSpTokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(model_dir, local_files_only=True)
-    model = AutoModelForSeq2SeqLM.from_pretrained(model_dir, local_files_only=True)
+    tokenizer = MarianSpTokenizer(model_dir)
+    params, config = load_hf_marian(model_dir)
     valid_mask = np.array([bool(t and str(t).strip()) for t in texts])
     valid = [str(t) for t in texts[valid_mask]]
     translations: List[str] = []
     for i in range(0, len(valid), 32):
-        enc = tokenizer(valid[i : i + 32], return_tensors="pt", padding=True,
-                        truncation=True)
-        with torch.no_grad():
-            out = model.generate(**enc, max_length=128)
-        translations.extend(tokenizer.batch_decode(out, skip_special_tokens=True))
+        enc = tokenizer(valid[i : i + 32], truncation=True, max_length=512)
+        ids, mask = enc["input_ids"], enc["attention_mask"]
+        # bucket the source width so XLA compiles a handful of shapes
+        # instead of one per batch
+        width = max(64, -(-ids.shape[1] // 64) * 64)
+        pad = width - ids.shape[1]
+        if pad:
+            ids = np.pad(ids, ((0, 0), (0, pad)),
+                         constant_values=tokenizer.pad_token_id)
+            mask = np.pad(mask, ((0, 0), (0, pad)))
+        out = greedy_generate(params, config, ids, mask, max_length=128)
+        translations.extend(
+            tokenizer.batch_decode(np.asarray(out), skip_special_tokens=True)
+        )
     result = np.empty_like(texts)
     result[valid_mask] = translations
     result[~valid_mask] = ""

@@ -247,7 +247,21 @@ def register_ecg_tokens(tokenizer, vocab) -> int:
 
 
 def load_text_tokenizer(hf_dir: str):
-    """Load a real HF tokenizer from a local checkpoint directory."""
-    from transformers import AutoTokenizer
+    """Load the checkpoint's own tokenizer from a local HF directory.
 
-    return AutoTokenizer.from_pretrained(hf_dir, local_files_only=True)
+    Default path is the NATIVE reader (tokenizer/hf_text.py): byte-level
+    merge-rank BPE from ``tokenizer.json`` (or GPT-2 ``vocab.json`` +
+    ``merges.txt``), byte-exact against the HF fast tokenizer
+    (tests/test_hf_text_tokenizer.py) — the flagship path runs without
+    pip ``transformers``.  Set ``ECG_BYTE_TEXT_TOKENIZER=transformers``
+    to cross-check against ``AutoTokenizer`` instead.
+    """
+    import os
+
+    if os.environ.get("ECG_BYTE_TEXT_TOKENIZER") == "transformers":
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(hf_dir, local_files_only=True)
+    from ecg_byte_tpu.tokenizer.hf_text import HFTextTokenizer
+
+    return HFTextTokenizer.from_pretrained(hf_dir)

@@ -105,7 +105,8 @@ def vit_process_image(signal: np.ndarray, image_size: int = 224) -> np.ndarray:
     return _normalize_chw(np.asarray(img), VIT_IMAGE_MEAN, VIT_IMAGE_STD)
 
 
-def _tokenize_padded(tokenizer, text: str, max_length: int):
+def _tokenize_padded(tokenizer, text: str, max_length: int,
+                     add_special_tokens: bool = False):
     """Right-padded fixed-width text encoding (CLIP max 77 / MERL max 64)."""
     out = tokenizer(
         [text],
@@ -113,7 +114,7 @@ def _tokenize_padded(tokenizer, text: str, max_length: int):
         padding="max_length",
         max_length=max_length,
         truncation=True,
-        add_special_tokens=False,
+        add_special_tokens=add_special_tokens,
     )
     return out.input_ids[0].astype(np.int64), out.attention_mask[0].astype(np.int64)
 
@@ -167,7 +168,15 @@ class ECGCLIPPretrain:
             item["mask"] = np.random.rand(a.num_patches) < 0.75
             item["vit_pixel"] = vit_process_image(signal, a.image_size)
         if a.model == "resnet":
-            ids, mask = _tokenize_padded(self.tokenizer, text_label, 64)
+            # a WordPiece (MedCPT) tokenizer needs its [CLS]..[SEP]
+            # template — the reference's MedCPT tokenizer default
+            # (merl.py:197-201); the byte tokenizer stays bare
+            ids, mask = _tokenize_padded(
+                self.tokenizer, text_label, 64,
+                add_special_tokens=getattr(
+                    self.tokenizer, "bert_specials", False
+                ),
+            )
             item["resnet_input_ids"] = ids
             item["resnet_att_mask"] = mask
         return item

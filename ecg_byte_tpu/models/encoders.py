@@ -207,18 +207,28 @@ def load_frozen_text_encoder(model_name: Optional[str] = None) -> Callable:
     so a frozen encoder reproduces its actual training behavior."""
     if model_name:
         try:
+            import os
+
             from ecg_byte_tpu.models.bert import JaxBertTextEncoder, load_hf_bert
 
             params, config = load_hf_bert(model_name)
+            # MedCPT is a BERT: its checkpoint ships vocab.txt, which the
+            # in-repo WordPiece tokenizes exactly (oracle-tested vs
+            # BertTokenizer in tests/test_metrics.py) — the MERL path is
+            # transformers-free.  Hash fallback only when no vocab exists.
             tokenizer = None
-            try:
-                from transformers import AutoTokenizer
+            vocab_file = os.path.join(model_name, "vocab.txt")
+            if os.path.exists(vocab_file):
+                from ecg_byte_tpu.tokenizer.wordpiece import WordPieceTokenizer
 
-                tokenizer = AutoTokenizer.from_pretrained(
-                    model_name, local_files_only=True
-                )
-            except Exception:
-                pass
+                lower = True
+                cfg_file = os.path.join(model_name, "tokenizer_config.json")
+                if os.path.exists(cfg_file):
+                    import json
+
+                    with open(cfg_file) as f:
+                        lower = json.load(f).get("do_lower_case", True)
+                tokenizer = WordPieceTokenizer(vocab_file, lower_case=lower)
             return JaxBertTextEncoder(params, config, tokenizer)
         except Exception as e:
             print(f"local BERT unavailable ({e}); using hash text encoder")

@@ -152,15 +152,17 @@ def causal_attention(
     # query head hq uses kv head hq // n_rep, i.e. H splits as (KH, G).
     qg = q.reshape(b, s, kh, n_rep, d)
     if not return_probs:
-        if _resident_supported(qg.shape, q.dtype):
+        # `use_flash=False` is an explicit opt-out of ALL Pallas kernels
+        # (callers forcing the XLA path for debugging/parity, or platforms
+        # where a kernel misbehaves) — honor it for the resident kernel
+        # too, not just the long-context flash kernel above.
+        if use_flash is not False and _resident_supported(qg.shape, q.dtype):
             # resident Pallas kernel: the whole (S, S) softmax lives and
             # dies in VMEM — no HBM-bound probability traffic in fwd or bwd
-            from jax.interpreters import pxla
-
             from ecg_byte_tpu.ops import attention_resident
 
-            env_mesh = pxla.thread_resources.env.physical_mesh
-            if env_mesh.empty:
+            env_mesh = _active_mesh()
+            if env_mesh is None:
                 out = attention_resident.resident_attention(qg, k, v, pad_mask)
             else:
                 # a pallas_call is opaque to GSPMD: under an active mesh,
@@ -175,6 +177,30 @@ def causal_attention(
     probs = _grouped_probs(qg, k, pad_mask)
     out = jnp.einsum("bkgqs,bskd->bqkgd", probs, v).reshape(b, s, h, d)
     return out, probs.reshape(b, kh * n_rep, s, s)
+
+
+def _active_mesh():
+    """Concrete device mesh of the enclosing context, or None.
+
+    Checks the modern context (``jax.sharding.set_mesh``/``use_mesh``)
+    first, then the legacy ``with mesh:`` thread resources via their
+    non-deprecated ``jax._src.mesh`` home (``jax.interpreters.pxla`` is a
+    DeprecationWarning-emitting alias slated for removal).  Both probes
+    are guarded so API drift degrades to the unsharded dispatch rather
+    than breaking the forward pass.
+    """
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.get_concrete_mesh()
+        if m is not None and not m.empty:
+            return m
+        m = mesh_lib.thread_resources.env.physical_mesh
+        if not m.empty:
+            return m
+    except Exception:
+        pass
+    return None
 
 
 def _resident_supported(qg_shape, dtype) -> bool:

@@ -188,14 +188,21 @@ def _resident_impl(qg, k, v, pad_mask, block_m, interpret):
 
 def _resident_fwd(qg, k, v, pad_mask, block_m, interpret=False):
     out, of = _resident_impl(qg, k, v, pad_mask, block_m, interpret)
-    return out, (qg, k, v, pad_mask, of)
+    # Save `out` (the value already flowing forward) rather than its flat
+    # source `of`: keeping both doubles the O(B*S*H*D) saved activations
+    # per layer under remat=False, the mode this kernel exists to enable.
+    # The backward re-derives the flat layout with one cheap transpose —
+    # the same relayout it already performs on the incoming gradient.
+    del of
+    return out, (qg, k, v, pad_mask, out)
 
 
 def _resident_bwd(block_m, interpret, res, grad):
-    qg, k, v, pad_mask, of = res
+    qg, k, v, pad_mask, out = res
     b, s, kh, g, d = qg.shape
     block_m = min(block_m, g * s)
     qf, kf, vf, mask = _layouts(qg, k, v, pad_mask)
+    of = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(b * kh, g * s, d)
     gf = jnp.transpose(grad, (0, 2, 3, 1, 4)).reshape(b * kh, g * s, d)
     grid, n_m, in_specs = _grid_specs(b, s, kh, g, d, block_m)
     scale = d**-0.5

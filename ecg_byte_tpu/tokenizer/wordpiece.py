@@ -146,3 +146,57 @@ class WordPieceTokenizer:
         ids = [self.vocab.get(p, self.unk_id) for p in self.tokenize(text)]
         ids = ids[: max_len - 2]
         return [self.cls_id] + ids + [self.sep_id]
+
+    # BERT inputs are meaningful only with the [CLS]..[SEP] template (the
+    # encoder pools the [CLS] position); datasets check this flag to
+    # request specials (the MedCPT tokenizer default, merl.py:197-201)
+    bert_specials = True
+
+    def __call__(
+        self,
+        text,
+        return_tensors=None,
+        add_special_tokens: bool = True,
+        padding=None,
+        max_length=None,
+        truncation: bool = False,
+    ):
+        """HF-surface batch encode (the subset the datasets consume)."""
+        import numpy as np
+
+        texts = [text] if isinstance(text, str) else list(text)
+        seqs = []
+        for t in texts:
+            ids = [self.vocab.get(p, self.unk_id) for p in self.tokenize(t)]
+            if add_special_tokens:
+                if truncation and max_length is not None:
+                    ids = ids[: max_length - 2]
+                ids = [self.cls_id] + ids + [self.sep_id]
+            elif truncation and max_length is not None:
+                ids = ids[:max_length]
+            seqs.append(ids)
+        if padding == "max_length" and max_length is not None:
+            width = max_length
+        elif padding in ("longest", True) or return_tensors is not None:
+            width = max((len(s) for s in seqs), default=0)
+        else:
+            width = None
+        if width is not None:
+            mask = [[1] * len(s) + [0] * (width - len(s)) for s in seqs]
+            seqs = [s + [self.pad_id] * (width - len(s)) for s in seqs]
+        else:
+            mask = [[1] * len(s) for s in seqs]
+
+        class _Batch(dict):
+            def __getattr__(self, name):
+                try:
+                    return self[name]
+                except KeyError:
+                    raise AttributeError(name)
+
+        if return_tensors == "np":
+            return _Batch(
+                input_ids=np.asarray(seqs, dtype=np.int64),
+                attention_mask=np.asarray(mask, dtype=np.int64),
+            )
+        return _Batch(input_ids=seqs, attention_mask=mask)
