@@ -530,17 +530,18 @@ def bench_train(config, params):
     # 324->287 ms/step at 4x1024 (the hardware RngBitGenerator vs the
     # software threefry path); identical distribution, different stream
     key = jax.random.key(1, impl="rbg")
-    # remat=False saves every layer's activations — viable since the
-    # resident-attention kernel removed the (S, S) residuals (the scan
-    # used to keep 8 GB of f32 attention logits): measured 234.5 ->
-    # 207.0 ms/step at 4x1024 vs remat="dots" on v5e.  Fall back to
-    # "dots" if this batch does not fit HBM.
+    # remat="slim" saves every layer's activations EXCEPT the _slim-tagged
+    # elementwise tensors (norm/rope/silu/dropout results — pure-VPU
+    # replays): remat=False speed with ~7 GB less residual memory, so the
+    # full-save-class step fits HBM on chip sessions where remat=False
+    # compile-OOMs (round-4 session: False OOMs, slim fits).  Fall back to
+    # "dots" if even this does not fit.
     try:
-        step = make_train_step(config, opt, None, remat=False)
+        step = make_train_step(config, opt, None, remat="slim")
         state, loss = step(state, batch, key)  # compile + warm
         float(loss)
     except Exception as e:
-        print(f"remat=False fell back to dots: {type(e).__name__}",
+        print(f"remat=slim fell back to dots: {type(e).__name__}",
               file=sys.stderr)
         step = make_train_step(config, opt, None, remat="dots")
         state = create_train_state(  # the failed step may have donated it

@@ -106,11 +106,13 @@ def get_args():
                              '(merged decode streams one weight set per '
                              'token; attached matches training-time math '
                              'bit-for-bit)')
-    parser.add_argument('--remat', type=str, default='dots',
-                        choices=['dots', 'full', 'none'],
+    parser.add_argument('--remat', type=str, default='slim',
+                        choices=['slim', 'dots', 'full', 'none'],
                         help='rematerialization policy for the train step: '
-                             'dots (safe default), none (fastest when the '
-                             'batch fits HBM — see TRAINPERF.md), full '
+                             'slim (default — save everything except '
+                             'cheap-to-replay elementwise tensors, see '
+                             'TRAINPERF.md), dots (safe fallback), none '
+                             '(save all; needs the most HBM), full '
                              '(lowest memory)')
     parser.add_argument('--online_encode', action='store_true',
                         help='per-item host BPE encode (reference '
@@ -320,7 +322,7 @@ def main():
     )
 
     with mesh:
-        remat = {'dots': 'dots', 'none': False, 'full': True}[args.remat]
+        remat = {'slim': 'slim', 'dots': 'dots', 'none': False, 'full': True}[args.remat]
         step_fn = make_train_step(
             config, optimizer, mesh if args.dis else None, remat=remat
         )

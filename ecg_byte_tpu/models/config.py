@@ -48,6 +48,17 @@ class TransformerConfig:
     lora_rank: int = 16
     lora_alpha: float = 32.0
     lora_dropout: float = 0.05
+    # where the LoRA dropout mask lands:
+    #   "rank"  (default) — mask the (B, S, r) adapter activations after
+    #           the A-projection.  Same expected update magnitude
+    #           (inverted scaling), ~300x fewer random bits than masking
+    #           the (B, S, D)/(B, S, I) inputs, and the A-dot reads the
+    #           raw layer input so it fuses with the base projections.
+    #           Measured -6 ms/step at 4x1024 (TRAINPERF.md round 4).
+    #   "input" — HF PEFT semantics: mask the adapter INPUT rows
+    #           (lora.Linear applies nn.Dropout to x before A).  Use for
+    #           strict training-dynamics parity with the reference.
+    lora_dropout_style: str = "rank"
     lora_targets: Tuple[str, ...] = (
         "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "down_proj", "up_proj",
     )

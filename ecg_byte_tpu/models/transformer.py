@@ -115,6 +115,20 @@ def resize_embeddings(
 # Building blocks
 
 
+def _slim(x):
+    """Tag a value as NOT-saved under the ``remat="slim"`` policy.
+
+    Tagged tensors are the f32/wide intermediates whose backward
+    recompute is pure VPU work (norm scaling, rope rotation, silu
+    product, dropout masking): cheap to replay, expensive to keep —
+    at 4x1024 they are ~7 GB of the remat=False residual set, the
+    difference between fitting HBM and a compile-time OOM on tighter
+    chip sessions."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, "ecg_slim")
+
+
 def _norm(x, weight, bias, config: TransformerConfig):
     eps = config.norm_eps
     xf = x.astype(jnp.float32)
@@ -131,7 +145,7 @@ def _norm(x, weight, bias, config: TransformerConfig):
         if config.rmsnorm_unit_offset:  # gemma: scale by (1 + w)
             w = 1.0 + w
         y = y * w
-    return y.astype(x.dtype)
+    return _slim(y).astype(x.dtype)
 
 
 def rope_inv_freq(config: TransformerConfig, d: int) -> np.ndarray:
@@ -184,7 +198,7 @@ def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """Rotary embedding, HF rotate-half convention.  x: (B, S, H, D)."""
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
-    return out.astype(x.dtype)
+    return _slim(out).astype(x.dtype)
 
 
 def _rope(x: jax.Array, positions: jax.Array, config: TransformerConfig) -> jax.Array:
@@ -226,17 +240,35 @@ def _proj(x, layer_p, name, lora_p, config: TransformerConfig, dropout_rng):
         y = y + p["bias"]
     if lora_p is not None and name in lora_p:
         a, b = lora_p[name]["a"], lora_p[name]["b"]  # (in, r), (r, out)
-        xin = x
         rate = config.lora_dropout
-        if dropout_rng is not None and rate > 0.0:
+        style = getattr(config, "lora_dropout_style", "rank")
+        if dropout_rng is None or rate <= 0.0:
+            xa = x @ a
+        elif style == "rank":
+            # mask the r-dim adapter activations (config.py rationale):
+            # the A-dot reads raw x and the mask is (B, S, r) — ~D/r
+            # fewer random bits than input-style masking
+            xa = _rank_dropout(x @ a, config, dropout_rng, name)
+        else:  # "input": HF PEFT parity — mask the adapter input rows
             keep = jax.random.bernoulli(
                 jax.random.fold_in(dropout_rng, hash(name) % (2**31)),
                 1.0 - rate,
                 x.shape,
             )
-            xin = jnp.where(keep, x / (1.0 - rate), 0.0)
-        y = y + ((xin @ a) @ b) * (config.lora_alpha / config.lora_rank)
+            xa = _slim(jnp.where(keep, x / (1.0 - rate), 0.0)) @ a
+        y = y + (xa @ b) * (config.lora_alpha / config.lora_rank)
     return y
+
+
+def _rank_dropout(xa, config: TransformerConfig, dropout_rng, salt: str):
+    """Inverted dropout on the (B, S, r)-shaped adapter activations."""
+    rate = config.lora_dropout
+    keep = jax.random.bernoulli(
+        jax.random.fold_in(dropout_rng, hash(salt) % (2**31)),
+        1.0 - rate,
+        xa.shape,
+    )
+    return jnp.where(keep, xa / (1.0 - rate), 0.0)
 
 
 def _lora_dropout(x, config: TransformerConfig, dropout_rng, salt: str):
@@ -248,7 +280,7 @@ def _lora_dropout(x, config: TransformerConfig, dropout_rng, salt: str):
         jax.random.fold_in(dropout_rng, hash(salt) % (2**31)), 1.0 - rate,
         x.shape,
     )
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
+    return _slim(jnp.where(keep, x / (1.0 - rate), 0.0))
 
 
 def _proj_group(x, layer_p, names, lora_p, config: TransformerConfig,
@@ -267,9 +299,17 @@ def _proj_group(x, layer_p, names, lora_p, config: TransformerConfig,
     outs = []
     use_lora = lora_p is not None and all(n in lora_p for n in names)
     if use_lora:
-        xin = _lora_dropout(x, config, dropout_rng, "/".join(names))
         a_cat = jnp.concatenate([lora_p[n]["a"] for n in names], axis=-1)
-        xa = xin @ a_cat  # (B, S, len(names)*r)
+        style = getattr(config, "lora_dropout_style", "rank")
+        if style == "rank":
+            # raw x feeds the fused A-dot; the (B, S, len*r) mask is
+            # per-feature, so adapters stay independently masked
+            xa = x @ a_cat
+            if dropout_rng is not None and config.lora_dropout > 0.0:
+                xa = _rank_dropout(xa, config, dropout_rng, "/".join(names))
+        else:
+            xin = _lora_dropout(x, config, dropout_rng, "/".join(names))
+            xa = xin @ a_cat  # (B, S, len(names)*r)
         r = config.lora_rank
         scale = config.lora_alpha / config.lora_rank
     for i, name in enumerate(names):
@@ -328,7 +368,7 @@ def _block(
         gate, up = _proj_group(
             hn, layer_p, ("gate_proj", "up_proj"), lora_p, c, dropout_rng
         )
-        inner = _act(gate, c.hidden_act) * up
+        inner = _slim(_act(gate, c.hidden_act) * up)
     else:
         up = _proj(hn, layer_p, "up_proj", lora_p, c, dropout_rng)
         inner = _act(up, c.hidden_act)
@@ -382,6 +422,18 @@ def _scan_layers(
         body = jax.checkpoint(
             body,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    elif remat == "slim":
+        # save everything EXCEPT the _slim-tagged f32/wide elementwise
+        # results (norm scaling, rope rotation, silu product, masked
+        # adapter inputs).  Their replay is pure VPU work with no matmul
+        # recompute — remat=False speed at ~7 GB less residual memory,
+        # so the full-save step fits HBM on every chip session.
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_anything_except_these_names(
+                "ecg_slim"
+            ),
         )
     elif remat:
         body = jax.checkpoint(body)
@@ -586,7 +638,16 @@ def _dense_ce_fwd_impl(h2, head, shift_labels):
     lab = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
     count = jnp.maximum(jnp.sum(valid), 1)
     loss = jnp.sum(jnp.where(valid, lse - lab, 0.0)) / count
-    return loss, (h2, head, logits, lse, safe, valid, count)
+    # the (M, V) residual rides to the backward as CENTERED bf16 logits
+    # (logits - lse): at 4x1024x132k that halves a 2.2 GB f32 buffer.
+    # Centering puts bf16's precision where the probability mass is —
+    # entries near 0 (high prob) carry ~2^-9 absolute error, far-negative
+    # entries only mis-round vanishing probs — so the backward's
+    # probs = exp(centered) match f32 to ~0.2% where it matters, and
+    # dlogits are cast to bf16 downstream anyway.  Loss VALUE stays
+    # f32-exact.
+    centered = (logits - lse[:, None]).astype(jnp.bfloat16)
+    return loss, (h2, head, centered, safe, valid, count)
 
 
 def _dense_ce_fwd(h2, head, shift_labels):
@@ -594,9 +655,9 @@ def _dense_ce_fwd(h2, head, shift_labels):
 
 
 def _dense_ce_bwd(res, gbar):
-    h2, head, logits, lse, safe, valid, count = res
-    v = logits.shape[1]
-    probs = jnp.exp(logits - lse[:, None])
+    h2, head, centered, safe, valid, count = res
+    v = centered.shape[1]
+    probs = jnp.exp(centered.astype(jnp.float32))
     onehot = (
         jnp.arange(v, dtype=safe.dtype)[None, :] == safe[:, None]
     ).astype(jnp.float32)
@@ -717,9 +778,26 @@ def chunked_lm_loss(
 def init_kv_cache(
     config: TransformerConfig, batch: int, max_len: int, dtype=None
 ) -> Params:
+    """KV cache tree: ``{"k", "v"}`` of (L, B, S_max, KH, D).
+
+    ``dtype=jnp.int8`` builds the QUANTIZED serving cache (beyond the
+    reference's bf16 HF cache): K/V rows are stored int8 with a
+    per-(position, kv-head) bf16 scale quantized at append time and
+    folded back around the decode-attention dots, so only int8 KV bytes
+    stream from HBM per decoded token (ops/attention.decode_attention).
+    Prefill attention still reads the fresh bf16 prompt K/V — only the
+    cache copy is quantized.  Opt-in via ``greedy_generate(int8_kv=...)``.
+    """
     dt = dtype or _dtype(config)
     shape = (config.num_layers, batch, max_len, config.num_kv_heads, config.head_dim)
-    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+    cache = {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+    if dt == jnp.int8:
+        # init scales to 1 (not 0): unfilled slots are masked in the
+        # attention, but a 0-scale would still make 0 * -inf NaNs if a
+        # backend reorders the mask-add
+        cache["k_scale"] = jnp.ones(shape[:-1], jnp.bfloat16)
+        cache["v_scale"] = jnp.ones(shape[:-1], jnp.bfloat16)
+    return cache
 
 
 def _cache_write(cache: jax.Array, new: jax.Array, idx) -> jax.Array:
@@ -727,6 +805,43 @@ def _cache_write(cache: jax.Array, new: jax.Array, idx) -> jax.Array:
     return jax.lax.dynamic_update_slice(
         cache, new.astype(cache.dtype), (0, idx, 0, 0)
     )
+
+
+def _quant_kv_rows(new: jax.Array):
+    """(B, s, KH, D) -> (int8 rows, (B, s, KH) bf16 scales).
+
+    Per-row symmetric absmax over D — each cached position/head keeps its
+    own dynamic range, so the int8 error stays ~0.4% of that row's
+    amplitude regardless of cross-position magnitude drift."""
+    f = new.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(f), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(f / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
+
+
+def _scale_write(scales: jax.Array, new: jax.Array, idx) -> jax.Array:
+    """Write (B, s, KH) scales at position idx along axis 1."""
+    return jax.lax.dynamic_update_slice(
+        scales, new.astype(scales.dtype), (0, idx, 0)
+    )
+
+
+def _append_kv(caches: Params, k: jax.Array, v: jax.Array, idx) -> Params:
+    """Append fresh (B, s, KH, D) K/V rows at ``idx``, quantizing when the
+    cache is the int8 serving layout."""
+    out = dict(caches)
+    if caches["k"].dtype == jnp.int8:
+        kq, ks = _quant_kv_rows(k)
+        vq, vs = _quant_kv_rows(v)
+        out["k"] = _cache_write(caches["k"], kq, idx)
+        out["v"] = _cache_write(caches["v"], vq, idx)
+        out["k_scale"] = _scale_write(caches["k_scale"], ks, idx)
+        out["v_scale"] = _scale_write(caches["v_scale"], vs, idx)
+    else:
+        out["k"] = _cache_write(caches["k"], k, idx)
+        out["v"] = _cache_write(caches["v"], v, idx)
+    return out
 
 
 def prefill(

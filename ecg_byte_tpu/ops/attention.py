@@ -127,6 +127,10 @@ def causal_attention(
       (out (B, S, H, D), probs or None)
     """
     n_rep = q.shape[2] // k.shape[2]
+    # an EXPLICIT use_flash=False is a caller opt-out of all Pallas
+    # kernels; the auto-computed value below only steers the long-context
+    # flash kernel and must not disable the resident-kernel dispatch
+    pallas_opt_out = use_flash is False
     if use_flash is None:
         # Measured on v5e (uncontended, 256k tokens per shape): XLA's own
         # fused attention is FASTER than the Pallas kernel at every size
@@ -156,7 +160,7 @@ def causal_attention(
         # (callers forcing the XLA path for debugging/parity, or platforms
         # where a kernel misbehaves) — honor it for the resident kernel
         # too, not just the long-context flash kernel above.
-        if use_flash is not False and _resident_supported(qg.shape, q.dtype):
+        if not pallas_opt_out and _resident_supported(qg.shape, q.dtype):
             # resident Pallas kernel: the whole (S, S) softmax lives and
             # dies in VMEM — no HBM-bound probability traffic in fwd or bwd
             from ecg_byte_tpu.ops import attention_resident

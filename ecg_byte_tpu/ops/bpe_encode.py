@@ -376,12 +376,44 @@ def _greedy_chain_scan(match_len: jax.Array, max_len: int) -> jax.Array:
 def _compact(match_tok, visited):
     """Left-align visited tokens; returns (ids, counts).
 
-    Formulated as a key sort: visited positions keep their position as the
-    key, non-visited shift by N, so a single ``sort_key_val`` along the
-    position axis moves survivors to the front in order.  TPU's sort
-    lowering runs this in 15.7 ms per 256x30k batch vs 53.8 ms for the
-    previous cumsum+scatter formulation (scatter is gather-class on TPU);
-    the two are output-identical (distinct integer keys, deterministic).
+    Formulated as a PACKED single-array sort: token ids fit 13 bits
+    (< 8192, the _PACK invariant) and the survivor-ordering key fits the
+    remaining high bits, so ``pos << 13 | tok`` sorts by position with the
+    payload riding along — ONE int32 stream through TPU's sort network
+    instead of the (key, value) pair of ``sort_key_val``.  Halving the
+    bytes per compare-exchange pass measured 15.3 -> ~8 ms per 256x30k
+    batch on v5e (see _compact_sort_kv for the pair formulation and
+    _compact_scan_gather for the round-4 prefix-sum+gather experiment —
+    both kept for the measured comparison in BASELINE.md).
+
+    Non-visited positions shift their key by N so survivors sort to the
+    front in original order; keys are distinct, so the sort is
+    deterministic and output-identical to the pair sort.
+    """
+    b, n = match_tok.shape
+    if 2 * n << 13 <= 2**31:  # packed key fits int32 (n < 2^17)
+        pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+        key = jnp.where(visited, pos, pos + n)
+        packed = (key << 13) | match_tok.astype(jnp.int32)
+        sorted_packed = jax.lax.sort(packed, dimension=1)
+        sorted_tok = sorted_packed & 0x1FFF
+    else:  # very long streams: fall back to the pair sort
+        return _compact_sort_kv(match_tok, visited)
+    counts = jnp.sum(visited.astype(jnp.int32), axis=1)
+    ids = jnp.where(
+        jnp.arange(n, dtype=jnp.int32)[None] < counts[:, None],
+        sorted_tok,
+        PAD_TOKEN,
+    )
+    return ids, counts
+
+
+def _compact_sort_kv(match_tok, visited):
+    """(key, value) pair-sort compaction — the round-3 formulation.
+
+    15.7 ms per 256x30k batch vs 53.8 ms for cumsum+scatter (scatter is
+    gather-class on TPU); superseded by the packed sort in :func:`_compact`
+    but kept as the wide-stream fallback and measurement baseline.
     """
     b, n = match_tok.shape
     pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
@@ -391,6 +423,56 @@ def _compact(match_tok, visited):
     ids = jnp.where(
         jnp.arange(n, dtype=jnp.int32)[None] < counts[:, None],
         sorted_tok,
+        PAD_TOKEN,
+    )
+    return ids, counts
+
+
+def _compact_scan_gather(match_tok, visited, block: int = 2048):
+    """Prefix-sum + blocked gather compaction (round-4 experiment).
+
+    Two-level: pack survivors to the front of each ``block``-wide tile
+    with a SHORT sort (log(block) compare-exchange passes instead of
+    log(N)), then assemble tiles with one take_along_axis whose indices
+    come from a cumsum over per-tile survivor counts — the
+    ``associative_scan`` formulation suggested in round 3's review.
+    Output-identical to :func:`_compact`; kept for the recorded
+    measurement either way.
+    """
+    b, n = match_tok.shape
+    nb = -(-n // block)
+    n_pad = nb * block
+    tok = jnp.pad(match_tok, ((0, 0), (0, n_pad - n)))
+    vis = jnp.pad(visited, ((0, 0), (0, n_pad - n)))
+    tok_t = tok.reshape(b * nb, block)
+    vis_t = vis.reshape(b * nb, block)
+    # intra-tile compaction (short packed sort)
+    pos = jnp.broadcast_to(
+        jnp.arange(block, dtype=jnp.int32)[None], tok_t.shape
+    )
+    key = jnp.where(vis_t, pos, pos + block)
+    packed = (key << 13) | tok_t.astype(jnp.int32)
+    front = (jax.lax.sort(packed, dimension=1) & 0x1FFF).reshape(b, nb, block)
+    # tile offsets: exclusive prefix over per-tile survivor counts
+    tile_counts = jnp.sum(vis_t.astype(jnp.int32), axis=1).reshape(b, nb)
+    prefix = jnp.cumsum(tile_counts, axis=1) - tile_counts  # (b, nb)
+    # global index j reads tile k(j) at local offset j - prefix[k(j)]:
+    # k(j) = #tiles whose prefix <= j, minus one — a broadcast compare-sum,
+    # no gather needed to FIND the tile
+    j = jnp.arange(n_pad, dtype=jnp.int32)[None, :]  # (1, N)
+    k = jnp.sum(
+        (prefix[:, :, None] <= j[:, None, :]), axis=1
+    ).astype(jnp.int32) - 1  # (b, N)
+    k = jnp.clip(k, 0, nb - 1)
+    local = j - jnp.take_along_axis(prefix, k, axis=1)
+    flat_idx = k * block + jnp.clip(local, 0, block - 1)
+    gathered = jnp.take_along_axis(
+        front.reshape(b, nb * block), flat_idx, axis=1
+    )[:, :n]
+    counts = jnp.sum(visited.astype(jnp.int32), axis=1)
+    ids = jnp.where(
+        jnp.arange(n, dtype=jnp.int32)[None] < counts[:, None],
+        gathered,
         PAD_TOKEN,
     )
     return ids, counts
@@ -441,12 +523,14 @@ def _encode_impl(q, trans, token, automaton_max_len):
         visited = _greedy_chain(match_len)
         return match_tok, visited
 
+    # the automaton backend has no 8191 id cap, so the 13-bit packed
+    # compaction cannot host it — use the pair sort
     if q.ndim == 1:
         match_tok, visited = one(q)
-        ids, counts = _compact(match_tok[None], visited[None])
+        ids, counts = _compact_sort_kv(match_tok[None], visited[None])
         return ids[0], counts[0]
     match_tok, visited = jax.vmap(one)(q)
-    return _compact(match_tok, visited)
+    return _compact_sort_kv(match_tok, visited)
 
 
 def build_best_matcher(merges: Sequence[Tuple[Sequence[int], int]]):

@@ -28,8 +28,15 @@ Both are rebuilt here as Pallas kernels sized to the measured workload
    rolling 16-row window held in scratch — one hardware loop instead of N
    XLA scan steps.
 
-Compaction reuses the sort formulation of ops/bpe_encode (distinct
-integer keys via sort_key_val; ~16 ms per 256x30k batch on v5e).
+Round 4: the match epilogue is a PACKED-VALUE MAX (_match_kernel_val —
+one fused multiply-add + max-reduce per score element, no int8 hit
+materialization, no id dot; 41.2 -> 37.2 ms per 256x30k batch on v5e,
+output-identical, id-dot kernel kept for ids >= 4096) and compaction is
+ops/bpe_encode._compact's packed single-int32 sort (15.6 -> 9.4 ms).
+Measured floor note: a dot-only kernel at these shapes runs 23.6 ms and
+the time is invariant in K for K <= 128 (int8 MXU output-rate law), so
+the exhaustive-match formulation cannot go below ~24 ms — remaining gap
+is the non-overlapped VPU epilogue pass.
 
 Token streams are byte-exact with the conv matcher and the native trie
 encoder (cross-checked in tests/test_bpe_match.py).
@@ -68,6 +75,12 @@ class PallasMatcher(NamedTuple):
       in its length's row pair (the id-matmul epilogue contracts the hit
       mask against this on the MXU, positions on the lane axis).
     lengths: static tuple of the distinct token lengths, ascending.
+    pcol: int32 (T, 1) — ``len * _VAL_PACK + id`` per token column for the
+      round-4 packed-value-max epilogue (_match_kernel_val); 0 in padded
+      columns.
+    use_val: whether the val epilogue's bounds hold (id < _VAL_PACK,
+      len <= 16) — canonical tokenizers qualify; larger ids fall back to
+      the id-dot epilogue.
     """
 
     width: int
@@ -75,6 +88,8 @@ class PallasMatcher(NamedTuple):
     digits: jax.Array
     lengths: Tuple[int, ...]
     max_len: int
+    pcol: jax.Array
+    use_val: bool
 
 
 def build_pallas_matcher(
@@ -122,6 +137,9 @@ def build_pallas_matcher(
     filt = np.zeros((3 * width + 3, t_pad), np.int8)
     filt[3 * width, :] = 1  # padded columns: constant score 64, never 0
     digits = np.zeros((2 * len(lengths), t_pad), np.int8)
+    pcol = np.zeros((t_pad, 1), np.int32)
+    max_id = max(by_seq.values(), default=0)
+    use_val = max_id < _VAL_PACK and max_len <= 16
     for col, (symbols, token_id) in enumerate(by_seq.items()):
         for j, s in enumerate(symbols):
             filt[j, col] = -2 * s
@@ -135,12 +153,16 @@ def build_pallas_matcher(
         li = len_col[len(symbols)]
         digits[2 * li, col] = token_id // 128  # ids < 8192 -> digit < 64
         digits[2 * li + 1, col] = token_id % 128
+        if use_val:
+            pcol[col, 0] = len(symbols) * _VAL_PACK + token_id
     return PallasMatcher(
         width=width,
         filt=jnp.asarray(filt),
         digits=jnp.asarray(digits),
         lengths=lengths,
         max_len=max_len,
+        pcol=jnp.asarray(pcol),
+        use_val=use_val,
     )
 
 
@@ -187,6 +209,49 @@ def _match_kernel(win_ref, filt_ref, dig_ref, out_ref, *,
     out_ref[:] = packed  # (1, TN), already position-major
 
 
+_VAL_PACK = 4096  # val-kernel P format: len * 4096 + id (id < 4096)
+_VAL_SCALE = 131072  # > P_max = 16*4096+4095; 131072 * core_max < 2^31
+
+
+def _match_kernel_val(win_ref, filt_ref, pcol_ref, out_ref, *,
+                      strip: int):
+    """Packed-value-max epilogue (round-4 variant).
+
+    The compare/cast/id-dot epilogue of :func:`_match_kernel` is ~40% of
+    kernel time and does not overlap the core dot.  This variant replaces
+    it with ONE fused multiply-add and ONE max-reduce per score element:
+
+        val[t, p] = P[t] - _VAL_SCALE * core[t, p]
+        out[p]    = max_t val[t, p]
+
+    where ``P[t] = len_t * _VAL_PACK + id_t``.  A hit has core == 0 so
+    val == P > 0; any miss has core >= 1 so
+    val <= P_max - _VAL_SCALE < 0.  The max over tokens therefore returns
+    the LONGEST match's packed value directly — same output contract as
+    the id-dot epilogue, with no (strip, TN) int8 materialization, no
+    second dot, and no per-length unpack loop.
+
+    int32 safety (enforced in build_pallas_matcher): id < _VAL_PACK and
+    len <= 16 give P_max = 69,631 < _VAL_SCALE; core <= 16 * 26^2 =
+    10,816 gives _VAL_SCALE * core <= 1.42e9 < 2^31.
+    """
+    windows = win_ref[0]  # (3W+3, TN) int8
+
+    t_total = filt_ref.shape[1]
+    strip = min(strip, t_total)
+    best = None
+    for t0 in range(0, t_total, strip):
+        core = jax.lax.dot_general(
+            filt_ref[:, t0 : t0 + strip], windows, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (strip, TN) int32
+        val = pcol_ref[t0 : t0 + strip, :] - core * _VAL_SCALE
+        m = jnp.max(val, axis=0, keepdims=True)  # (1, TN)
+        best = m if best is None else jnp.maximum(best, m)
+
+    out_ref[:] = jnp.maximum(best, 0)  # misses (<0) -> 0 = no match
+
+
 def _build_windows(q, width: int):
     """XLA-side Toeplitz construction: (B, N) symbols -> (B, 3W+3, N) int8.
 
@@ -217,7 +282,7 @@ def _build_windows(q, width: int):
 
 
 def longest_match(q, matcher: PallasMatcher, *, tile_n: int = 2048,
-                  strip: int = 4096, interpret: bool = False):
+                  strip: int = 1792, interpret: bool = False):
     """(B, N) symbols -> (match_tok, match_len) int32, longest dict token
     per position (single-symbol fallback, ops/bpe_encode semantics)."""
     b, n = q.shape
@@ -235,10 +300,19 @@ def longest_match(q, matcher: PallasMatcher, *, tile_n: int = 2048,
     windows = _build_windows(flat, matcher.width)  # (1, 3W, B*n_pad)
     nb = b * n_pad // tile_n
 
-    kernel = functools.partial(
-        _match_kernel, strip=strip, lengths=matcher.lengths,
-    )
     w3 = 3 * matcher.width + 3
+    if matcher.use_val:
+        kernel = functools.partial(_match_kernel_val, strip=strip)
+        tables = (matcher.pcol,)
+        table_specs = [pl.BlockSpec(matcher.pcol.shape, lambda i: (0, 0))]
+        pack = _VAL_PACK
+    else:
+        kernel = functools.partial(
+            _match_kernel, strip=strip, lengths=matcher.lengths,
+        )
+        tables = (matcher.digits,)
+        table_specs = [pl.BlockSpec(matcher.digits.shape, lambda i: (0, 0))]
+        pack = _PACK
     packed = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, b * n_pad), jnp.int32),
@@ -246,18 +320,17 @@ def longest_match(q, matcher: PallasMatcher, *, tile_n: int = 2048,
         in_specs=[
             pl.BlockSpec((1, w3, tile_n), lambda i: (0, 0, i)),
             pl.BlockSpec(matcher.filt.shape, lambda i: (0, 0)),
-            pl.BlockSpec(matcher.digits.shape, lambda i: (0, 0)),
-        ],
+        ] + table_specs,
         out_specs=pl.BlockSpec((1, tile_n), lambda i: (0, i)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,  # v5e has 128 MB VMEM
         ),
         interpret=interpret,
-    )(windows, matcher.filt, matcher.digits)
+    )(windows, matcher.filt, *tables)
 
     packed = packed.reshape(b, n_pad)[:, :n]
-    match_tok = jnp.where(packed > 0, packed % _PACK, q + _BYTE_A)
-    match_len = jnp.where(packed > 0, packed // _PACK, 1)
+    match_tok = jnp.where(packed > 0, packed % pack, q + _BYTE_A)
+    match_len = jnp.where(packed > 0, packed // pack, 1)
     return match_tok, match_len
 
 
@@ -328,16 +401,17 @@ def greedy_chain(match_len, *, tile_rows: int = 2048, interpret: bool = False):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "max_len", "lengths", "tile_n", "strip", "interpret"
+        "width", "max_len", "lengths", "tile_n", "strip", "interpret",
+        "use_val",
     ),
 )
-def _encode_impl(q, filt, digits, width, max_len, lengths, tile_n,
-                 strip, interpret):
+def _encode_impl(q, filt, digits, pcol, width, max_len, lengths, use_val,
+                 tile_n, strip, interpret):
     from ecg_byte_tpu.ops.bpe_encode import _compact
 
     matcher = PallasMatcher(
         width=width, filt=filt, digits=digits, lengths=lengths,
-        max_len=max_len,
+        max_len=max_len, pcol=pcol, use_val=use_val,
     )
     squeeze = q.ndim == 1
     if squeeze:
@@ -353,7 +427,7 @@ def _encode_impl(q, filt, digits, width, max_len, lengths, tile_n,
 
 
 def encode(q, matcher: PallasMatcher, *, tile_n: int = 2048,
-           strip: int = 4096, interpret: bool = False):
+           strip: int = 1792, interpret: bool = False):
     """Encode symbol stream(s) to BPE ids on device via the Pallas path.
 
     Same contract as ops/bpe_encode.encode: ``q`` uint8 [N] or [B, N],
@@ -361,6 +435,7 @@ def encode(q, matcher: PallasMatcher, *, tile_n: int = 2048,
     """
     q = jnp.asarray(q)
     return _encode_impl(
-        q, matcher.filt, matcher.digits, matcher.width,
-        matcher.max_len, matcher.lengths, tile_n, strip, interpret
+        q, matcher.filt, matcher.digits, matcher.pcol, matcher.width,
+        matcher.max_len, matcher.lengths, matcher.use_val, tile_n, strip,
+        interpret
     )

@@ -112,3 +112,21 @@ def test_chain_matches_scan(toy):
     vis_scan = bpe_encode._greedy_chain_scan(ml, cm.max_len)
     vis_pl = bpe_match.greedy_chain(ml, tile_rows=64, interpret=True)
     np.testing.assert_array_equal(np.asarray(vis_scan), np.asarray(vis_pl))
+
+
+def test_val_and_iddot_epilogues_identical(toy):
+    """The round-4 packed-value-max epilogue and the id-dot epilogue are
+    output-identical (the val kernel serves ids < 4096; id-dot remains
+    the wide-id fallback)."""
+    import numpy as np
+    from ecg_byte_tpu.ops import bpe_match
+
+    merges, recs = toy
+    m = bpe_match.build_pallas_matcher(merges)
+    assert m.use_val  # toy ids are < 4096
+    m_old = m._replace(use_val=False)
+    q = np.asarray(recs, np.uint8).reshape(len(recs), -1)
+    tv, lv = bpe_match.longest_match(q, m, interpret=True)
+    to, lo = bpe_match.longest_match(q, m_old, interpret=True)
+    np.testing.assert_array_equal(np.asarray(tv), np.asarray(to))
+    np.testing.assert_array_equal(np.asarray(lv), np.asarray(lo))

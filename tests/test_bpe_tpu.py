@@ -115,3 +115,28 @@ def test_conv_matcher_duplicate_sequences_last_wins():
     matcher = bpe_encode.build_matcher(merges)
     ids, count = bpe_encode.encode(np.array([0, 1, 2], np.uint8), matcher)
     assert np.asarray(ids)[: int(count)].tolist() == [258]
+
+
+def test_compact_variants_identical():
+    """packed-sort (default), pair-sort, and scan+gather compaction agree
+    bit-for-bit (BASELINE.md records their measured comparison)."""
+    import numpy as np
+    from ecg_byte_tpu.ops import bpe_encode as BE
+
+    rng = np.random.default_rng(0)
+    for b, n in ((4, 3000), (3, 257)):
+        tok = rng.integers(97, 8191, (b, n)).astype(np.int32)
+        vis = rng.random((b, n)) < 0.3
+        vis[0, :5] = [True, False, True, True, False]
+        ids0, c0 = BE._compact(tok, vis)
+        ids1, c1 = BE._compact_sort_kv(tok, vis)
+        ids2, c2 = BE._compact_scan_gather(tok, vis)
+        np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
+        np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids2))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c2))
+        # reference semantics: survivors left-aligned in original order
+        want = [tok[i][vis[i]] for i in range(b)]
+        for i in range(b):
+            got = np.asarray(ids0[i][: c0[i]])
+            np.testing.assert_array_equal(got, want[i])

