@@ -420,7 +420,8 @@ def bench_decode(config, params):
 
 
 def bench_decode_int8(config, params, bf16_row=None):
-    """Weight-only int8 decode (models/quantized.py, --int8_decode).
+    """int8 decode: weight-only int8 (models/quantized.py) + int8 KV cache
+    (transformer.init_kv_cache dtype=int8) — the --int8_decode mode.
 
     value = tok/s; vs_baseline = fraction of the int8-bytes nominal HBM
     roofline (the mode exists because bytes/token halve — judge it against
@@ -447,7 +448,7 @@ def bench_decode_int8(config, params, bf16_row=None):
     def run(n):
         out = greedy_generate(
             qparams, config, ids, mask, max_new_tokens=n,
-            eos_token_id=-1, pad_token_id=0,
+            eos_token_id=-1, pad_token_id=0, int8_kv=True,
         )
         np.asarray(out)
         best = 1e9
@@ -455,7 +456,7 @@ def bench_decode_int8(config, params, bf16_row=None):
             t0 = time.perf_counter()
             out = greedy_generate(
                 qparams, config, ids, mask, max_new_tokens=n,
-                eos_token_id=-1, pad_token_id=0,
+                eos_token_id=-1, pad_token_id=0, int8_kv=True,
             )
             np.asarray(out)
             best = min(best, time.perf_counter() - t0)
@@ -469,10 +470,11 @@ def bench_decode_int8(config, params, bf16_row=None):
     param_bytes = sum(
         x.size * x.dtype.itemsize for x in jax.tree.leaves(qparams)
     ) - qparams["embed"].size * qparams["embed"].dtype.itemsize
-    kv_bytes = (
-        config.num_layers * (s + n_new) * config.num_kv_heads * config.head_dim
-        * 2 * 2
+    # int8 KV: 1 byte per cache element + a bf16 scale per (pos, kv-head)
+    kv_elems = (
+        config.num_layers * (s + n_new) * config.num_kv_heads * 2  # k+v
     )
+    kv_bytes = kv_elems * config.head_dim * 1 + kv_elems * 2
     hbm_bw, _ = _device_peaks()
     bytes_per_tok = param_bytes + kv_bytes
     roofline = hbm_bw / bytes_per_tok
@@ -497,7 +499,11 @@ def bench_decode_int8(config, params, bf16_row=None):
             if "fixed_ms_per_tok" in bf16_row:
                 # attainable bound with the measured fixed per-token cost
                 # (KV attention + glue, from the bf16 row) added in: the
-                # int8 kernel's own efficiency, byte-model slack removed
+                # int8 kernel's own efficiency, byte-model slack removed.
+                # Conservative for this mode: the bf16 row's fixed cost
+                # includes a bf16 KV stream that int8_kv halves, so a
+                # fraction slightly above 1.0 is possible and means the
+                # KV byte savings landed.
                 bound_ms = (
                     param_bytes / bw * 1e3 + bf16_row["fixed_ms_per_tok"]
                 )

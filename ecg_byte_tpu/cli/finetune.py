@@ -258,6 +258,7 @@ def main():
                 infer["params"], llm_config, trainable["fusion"], args.model,
                 db, sig_id, lora=infer["lora"], encoders=encoders,
                 max_new_tokens=128, eos_token_id=eos_id, pad_token_id=pad_id,
+                int8_kv=args.int8_decode,
             )
             toks = [int(t) for t in np.asarray(out[0])]
             if eos_id in toks:

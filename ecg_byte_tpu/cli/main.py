@@ -230,6 +230,7 @@ def main():
                 infer["params"], config, ids, mask,
                 lora=infer["lora"], max_new_tokens=128,
                 eos_token_id=eos_id, pad_token_id=pad_id,
+                int8_kv=args.int8_decode,
             )
 
             def detok(row):
@@ -267,9 +268,10 @@ def main():
                         "--int8_decode requires merged adapters; drop "
                         "--no_merge_lora"
                     )
-                # weight-only int8 serving copy: decode streams half the
-                # bytes per token (models/quantized.py; opt-in, outputs
-                # close-but-not-bitwise-equal to bf16)
+                # int8 serving copy: decode streams half the weight bytes
+                # per token, and generate_fn also flips the KV cache to
+                # int8 rows (models/quantized.py + init_kv_cache; opt-in,
+                # outputs close-but-not-bitwise-equal to bf16)
                 infer["params"] = quantize_lm_int8(infer["params"], config)
             seed_results = tester(
                 generate_fn, test_loader, dev=args.dev

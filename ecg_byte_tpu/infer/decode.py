@@ -29,6 +29,10 @@ class GenerateConfig:
     max_new_tokens: int = 128
     eos_token_id: int = -1
     pad_token_id: int = 0
+    # int8 KV serving cache (models/transformer.init_kv_cache dtype=int8):
+    # halves per-token KV traffic on the byte-bound decode path.  Opt-in —
+    # outputs are close to but not bitwise-equal with the bf16 cache.
+    int8_kv: bool = False
 
 
 @functools.partial(
@@ -50,7 +54,9 @@ def _generate_impl(
     s_max = s_prompt + gen.max_new_tokens
     lora_tree = lora if has_lora else None
 
-    cache = T.init_kv_cache(config, b, s_max)
+    cache = T.init_kv_cache(
+        config, b, s_max, dtype=jnp.int8 if gen.int8_kv else None
+    )
     logits, cache, next_pos = T.prefill(
         params,
         config,
@@ -106,6 +112,7 @@ def greedy_generate(
     max_new_tokens: int = 128,
     eos_token_id: int = -1,
     pad_token_id: int = 0,
+    int8_kv: bool = False,
 ) -> jax.Array:
     """Greedy-decode continuations.
 
@@ -125,6 +132,7 @@ def greedy_generate(
             max_new_tokens=max_new_tokens,
             eos_token_id=eos_token_id,
             pad_token_id=pad_token_id,
+            int8_kv=int8_kv,
         )
     if attn_mask is None:
         shape = input_ids.shape if inputs_embeds is None else inputs_embeds.shape[:2]

@@ -222,6 +222,7 @@ def fusion_generate(
     max_new_tokens: int = 128,
     eos_token_id: int = -1,
     pad_token_id: int = 0,
+    int8_kv: bool = False,
 ):
     """Stage-2 greedy decode: prompt consumed as spliced embeddings
     (the both-inputs HF workaround, README.md:308), continuation as ids."""
@@ -238,5 +239,5 @@ def fusion_generate(
         llm_params, llm_config, None, adapted["attn_mask"],
         inputs_embeds=adapted["combined_embeds"], lora=lora,
         max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
-        pad_token_id=pad_token_id,
+        pad_token_id=pad_token_id, int8_kv=int8_kv,
     )

@@ -869,22 +869,19 @@ def prefill(
     )
 
     def step(h, layer_p, lora_p, caches):
-        kc, vc = caches
-
         def attn_fn(q, k, v):
-            kc2 = _cache_write(kc, k, 0)
-            vc2 = _cache_write(vc, v, 0)
+            # attention reads the fresh bf16 prompt K/V; only the cache
+            # copy is (possibly int8-) quantized by _append_kv
+            new_caches = _append_kv(caches, k, v, 0)
             out, _ = causal_attention(q, k, v, attn_mask)
-            return out, (kc2, vc2)
+            return out, new_caches
 
         return _block(c, h, layer_p, lora_p, rope, attn_fn)
 
-    h, (k_new, v_new) = _scan_layers(
-        c, h, params, lora, step, extra_xs=(cache["k"], cache["v"])
-    )
+    h, new_cache = _scan_layers(c, h, params, lora, step, extra_xs=cache)
     logits = _unembed(params, c, h[:, -1:])[:, 0]
     next_pos = jnp.max(make_position_ids(attn_mask), axis=-1) + 1
-    return logits, {"k": k_new, "v": v_new}, next_pos
+    return logits, new_cache, next_pos
 
 
 def decode_step(
@@ -908,18 +905,17 @@ def decode_step(
     )
 
     def step(h, layer_p, lora_p, caches):
-        kc, vc = caches
-
         def attn_fn(q, k, v):
-            kc2 = _cache_write(kc, k, write_idx)
-            vc2 = _cache_write(vc, v, write_idx)
-            out = decode_attention(q, kc2, vc2, cache_mask)
-            return out, (kc2, vc2)
+            new_caches = _append_kv(caches, k, v, write_idx)
+            out = decode_attention(
+                q, new_caches["k"], new_caches["v"], cache_mask,
+                k_scale=new_caches.get("k_scale"),
+                v_scale=new_caches.get("v_scale"),
+            )
+            return out, new_caches
 
         return _block(c, h, layer_p, lora_p, rope, attn_fn)
 
-    h, (k_new, v_new) = _scan_layers(
-        c, h, params, lora, step, extra_xs=(cache["k"], cache["v"])
-    )
+    h, new_cache = _scan_layers(c, h, params, lora, step, extra_xs=cache)
     logits = _unembed(params, c, h)[:, 0]
-    return logits, {"k": k_new, "v": v_new}
+    return logits, new_cache

@@ -273,16 +273,26 @@ def decode_attention(
     k_cache: jax.Array,
     v_cache: jax.Array,
     valid_mask: jax.Array,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Single-position attention over a KV cache for autoregressive decode.
 
     Args:
       q: (B, 1, H, D) query for the current position.
-      k_cache, v_cache: (B, S_max, KH, D) with filled prefix.
+      k_cache, v_cache: (B, S_max, KH, D) with filled prefix.  May be the
+        int8 serving cache (models/transformer.init_kv_cache dtype=int8),
+        in which case ``k_scale``/``v_scale`` carry the per-row dequant.
       valid_mask: (B, S_max) — 1 for cache positions that may be attended
         (filled and non-pad).
+      k_scale, v_scale: optional (B, S_max, KH) bf16 per-row scales for the
+        int8 cache.  The K-scale is applied to the LOGITS after the QK dot
+        and the V-scale is folded into the probabilities BEFORE the PV dot
+        — both dots then read raw int8 from HBM (XLA fuses the int8->bf16
+        convert into the dot's operand read), which is the point: decode
+        is byte-bound and this halves the per-token KV traffic.
 
-    Returns: (B, 1, H, D).
+    Returns: (B, 1, h, d).
     """
     b, _, h, d = q.shape
     kh = k_cache.shape[2]
@@ -290,10 +300,26 @@ def decode_attention(
     # Grouped form (see causal_attention): never materialize the repeated
     # cache — at decode time that copy is ~4x the KV bytes per step.
     qg = q.reshape(b, kh, n_rep, d)
-    logits = jnp.einsum("bkgd,bskd->bkgs", qg, k_cache) * (d**-0.5)
+    logits = jnp.einsum(
+        "bkgd,bskd->bkgs", qg, k_cache.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * (d**-0.5)
+    if k_scale is not None:
+        # logit[b,k,g,s] = (q . k_int8[s]) * k_scale[s]: exact row dequant
+        logits = logits * jnp.swapaxes(k_scale, 1, 2)[:, :, None, :].astype(
+            jnp.float32
+        )
     logits = logits + jnp.where(
         valid_mask[:, None, None, :].astype(jnp.bool_), 0.0, _NEG_INF
     )
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out = jnp.einsum("bkgs,bskd->bkgd", probs, v_cache)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if v_scale is not None:
+        # sum_s p[s] * (v_int8[s] * v_scale[s]) == sum_s (p[s]*v_scale[s])
+        # * v_int8[s]: fold the scale into the probs so the PV dot streams
+        # int8.  Probs stay f32 through the fold to keep the product exact.
+        probs = probs * jnp.swapaxes(v_scale, 1, 2)[:, :, None, :].astype(
+            jnp.float32
+        )
+    probs = probs.astype(q.dtype)
+    out = jnp.einsum("bkgs,bskd->bkgd", probs, v_cache.astype(q.dtype))
     return out.reshape(b, 1, h, d)

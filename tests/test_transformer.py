@@ -351,3 +351,81 @@ def test_lora_dropout_styles():
     np.testing.assert_allclose(
         np.asarray(killed), np.asarray(plain), atol=1e-5
     )
+
+
+def test_int8_kv_cache_decode_close_to_bf16():
+    """The int8 serving KV cache (per-row scales, dequant folded around
+    the decode-attention dots) tracks the bf16 cache: per-step logits
+    stay close and greedy tokens agree on a confident model."""
+    from ecg_byte_tpu.infer.decode import greedy_generate
+
+    config = tiny_test_config("llama", vocab_size=64)
+    params = T.init_params(config, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(8)
+    b, s_prompt, s_max = 2, 12, 20
+    ids, mask = _batch(config, rng, b=b, s=s_prompt, n_pad=2)
+
+    caches = {
+        "bf16": T.init_kv_cache(config, b, s_max),
+        "int8": T.init_kv_cache(config, b, s_max, dtype=jnp.int8),
+    }
+    assert caches["int8"]["k"].dtype == jnp.int8
+    assert caches["int8"]["k_scale"].shape == caches["int8"]["k"].shape[:-1]
+
+    logits = {}
+    for name in caches:
+        lg, caches[name], next_pos = T.prefill(
+            params, config, ids, mask, caches[name]
+        )
+        logits[name] = lg
+    # prefill logits identical: prefill attends the fresh bf16 K/V
+    np.testing.assert_allclose(
+        np.asarray(logits["bf16"], np.float32),
+        np.asarray(logits["int8"], np.float32),
+        atol=1e-6,
+    )
+
+    cache_mask = jnp.concatenate(
+        [mask, jnp.zeros((b, s_max - s_prompt), jnp.int32)], axis=1
+    )
+    tok = jnp.argmax(logits["bf16"], -1).astype(jnp.int32)
+    positions = next_pos.astype(jnp.int32)
+    for step in range(1, 5):
+        widx = s_prompt + step - 1
+        cache_mask = cache_mask.at[:, widx].set(1)
+        new_logits = {}
+        for name in caches:
+            new_logits[name], caches[name] = T.decode_step(
+                params, config, tok, positions, widx, caches[name],
+                cache_mask,
+            )
+        lb = np.asarray(new_logits["bf16"], np.float32)
+        li = np.asarray(new_logits["int8"], np.float32)
+        # int8 rows carry ~0.4% relative error; logits are O(1)
+        scale = np.maximum(np.abs(lb).max(), 1.0)
+        np.testing.assert_allclose(li / scale, lb / scale, atol=0.05)
+        tok = jnp.argmax(new_logits["bf16"], -1).astype(jnp.int32)
+        positions = positions + 1
+
+    # e2e generate smoke with the flag: static shapes, finite, in-vocab
+    out = greedy_generate(
+        params, config, ids, mask, max_new_tokens=6, int8_kv=True
+    )
+    out = np.asarray(out)
+    assert out.shape == (b, 6)
+    assert ((0 <= out) & (out < config.vocab_size)).all()
+
+
+def test_quant_kv_rows_roundtrip():
+    """Per-row symmetric int8: dequant error bounded by scale/2 per
+    element, zero rows exact."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 5, 3, 16)) * 3.0, jnp.float32)
+    x = x.at[0, 0].set(0.0)
+    q, s = T._quant_kv_rows(x)
+    assert q.dtype == jnp.int8 and s.shape == (2, 5, 3)
+    deq = np.asarray(q, np.float32) * np.asarray(s, np.float32)[..., None]
+    err = np.abs(deq - np.asarray(x))
+    bound = np.asarray(s, np.float32)[..., None] * 0.51 + 1e-2
+    assert (err <= bound).all()
+    assert (deq[0, 0] == 0).all()
