@@ -28,15 +28,37 @@ Both are rebuilt here as Pallas kernels sized to the measured workload
    rolling 16-row window held in scratch — one hardware loop instead of N
    XLA scan steps.
 
-Round 4: the match epilogue is a PACKED-VALUE MAX (_match_kernel_val —
-one fused multiply-add + max-reduce per score element, no int8 hit
+Round 4: the match epilogue is a PACKED-VALUE MAX (one fused
+multiply-add + max-reduce per score element, no int8 hit
 materialization, no id dot; 41.2 -> 37.2 ms per 256x30k batch on v5e,
-output-identical, id-dot kernel kept for ids >= 4096) and compaction is
-ops/bpe_encode._compact's packed single-int32 sort (15.6 -> 9.4 ms).
-Measured floor note: a dot-only kernel at these shapes runs 23.6 ms and
-the time is invariant in K for K <= 128 (int8 MXU output-rate law), so
-the exhaustive-match formulation cannot go below ~24 ms — remaining gap
-is the non-overlapped VPU epilogue pass.
+output-identical; the id-dot kernel is kept for ids >= 4096) and
+compaction is ops/bpe_encode._compact's packed single-int32 sort
+(15.6 -> 9.4 ms).
+
+Round 4b: the Toeplitz windows moved INSIDE the kernel
+(_match_kernel_inker).  The XLA prebuild measured 15.6 ms per 256x30k
+batch on v5e (39 misaligned strided row copies, ~20 GB/s effective — not
+the ~1 ms the bandwidth arithmetic suggests), about 8 ms of it exposed
+after DMA overlap.  The kernel now receives the RAW int8 symbol stream as
+two pipelined blocks (current tile + lookahead tile for the cross-border
+window tail) and builds the (3W+3, TN) window matrix in VMEM: one
+(3, X) feature stack [sym | sq>>4 | sq&15] is lane-rotated once per
+offset j (``pltpu.roll`` — rotations produce canonical layouts, unlike
+lane-offset slices, so the row concat is legal in Mosaic), with the filt
+rows interleaved (sym_j, hi_j, lo_j) to match.  HBM traffic per tile
+drops from 39xTN window bytes to 2xTN symbol bytes.  Measured:
+37.2 -> 29.0 ms at tile_n=8192, strip=3584 (sweep: 16k/32k tiles are
+2-4 ms worse — VMEM pressure), vs a 26.0 ms epilogue-included floor with
+prebuilt random windows and a 23.6 ms dot-only floor (invariant in K for
+K <= 128 — int8 MXU output-rate law, ~1.19e12 outputs/s).  Negative
+results so far, for the record: first-symbol bucketing (14x fewer
+outputs) dies on gather/sort reorder costs (XLA gathers 108-974 ms);
+ECG smoothness gives no usable first-symbol locality at any block size;
+packing two positions per output column cannot scale the second
+position's contribution past int8's range; per-length group dots with
+a prefix-sum sq epilogue lose 12 ms to group padding and small-M dots;
+bf16 operands break exactness (sym^2 <= 625 exceeds bf16's 256-int
+range).
 
 Token streams are byte-exact with the conv matcher and the native trie
 encoder (cross-checked in tests/test_bpe_match.py).
@@ -213,29 +235,55 @@ _VAL_PACK = 4096  # val-kernel P format: len * 4096 + id (id < 4096)
 _VAL_SCALE = 131072  # > P_max = 16*4096+4095; 131072 * core_max < 2^31
 
 
-def _match_kernel_val(win_ref, filt_ref, pcol_ref, out_ref, *,
-                      strip: int):
-    """Packed-value-max epilogue (round-4 variant).
+def _match_kernel_inker(cur_ref, nxt_ref, filt_ref, pcol_ref, out_ref, *,
+                        strip: int, width: int):
+    """Packed-value-max kernel with IN-KERNEL Toeplitz construction.
 
-    The compare/cast/id-dot epilogue of :func:`_match_kernel` is ~40% of
-    kernel time and does not overlap the core dot.  This variant replaces
-    it with ONE fused multiply-add and ONE max-reduce per score element:
+    Inputs are two pipelined views of the raw int8 symbol stream — the
+    current (1, TN) tile and the next tile (whose first ``width`` lanes
+    complete the windows that straddle the tile border) — instead of the
+    XLA-prebuilt (3W+3, TN) window block (measured 15.6 ms per 256x30k
+    batch to build; see module docstring).  The (3, X) feature stack
+    [sym | sq>>4 | sq&15] is rotated once per window offset j with
+    ``pltpu.roll`` (rotations land in canonical lane layout, which makes
+    the row concatenation legal in Mosaic; lane-offset *slices* do not),
+    building the (3W+3, TN) int8 window matrix directly in VMEM.
+    Requires the INTERLEAVED filt row order (sym_j, hi_j, lo_j per
+    offset, consts last) produced by :func:`_interleave_rows`.
+
+    Epilogue: ONE fused multiply-add and ONE max-reduce per score element
 
         val[t, p] = P[t] - _VAL_SCALE * core[t, p]
         out[p]    = max_t val[t, p]
 
-    where ``P[t] = len_t * _VAL_PACK + id_t``.  A hit has core == 0 so
-    val == P > 0; any miss has core >= 1 so
-    val <= P_max - _VAL_SCALE < 0.  The max over tokens therefore returns
-    the LONGEST match's packed value directly — same output contract as
-    the id-dot epilogue, with no (strip, TN) int8 materialization, no
-    second dot, and no per-length unpack loop.
-
+    where ``P[t] = len_t * _VAL_PACK + id_t`` (the pcol column).  A hit
+    has core == 0 so val == P > 0; any miss has core >= 1 so
+    val <= P_max - _VAL_SCALE < 0.  The max over tokens therefore
+    returns the LONGEST match's packed value directly — no (strip, TN)
+    int8 hit materialization, no id dot, no per-length unpack loop.
     int32 safety (enforced in build_pallas_matcher): id < _VAL_PACK and
     len <= 16 give P_max = 69,631 < _VAL_SCALE; core <= 16 * 26^2 =
     10,816 gives _VAL_SCALE * core <= 1.42e9 < 2^31.
     """
-    windows = win_ref[0]  # (3W+3, TN) int8
+    tn = cur_ref.shape[1]
+    ext = jnp.concatenate(
+        [cur_ref[:, :], nxt_ref[:, :128]], axis=1
+    ).astype(jnp.int32)
+    sq = ext * ext
+    trio = jnp.concatenate(
+        [ext, jax.lax.shift_right_logical(sq, 4), jnp.bitwise_and(sq, 15)],
+        axis=0,
+    )  # (3, X) int32
+    x = trio.shape[1]
+    pieces = []
+    for j in range(width):
+        r = pltpu.roll(trio, x - j, 1) if j else trio
+        pieces.append(jax.lax.slice(r, (0, 0), (3, tn)))
+    windows = jnp.concatenate(pieces, axis=0).astype(jnp.int8)
+    const = jnp.ones((1, tn), jnp.int8)
+    windows = jnp.concatenate(
+        [windows, const * jnp.int8(64), const * jnp.int8(64), const], axis=0
+    )  # (3W+3, TN)
 
     t_total = filt_ref.shape[1]
     strip = min(strip, t_total)
@@ -244,12 +292,22 @@ def _match_kernel_val(win_ref, filt_ref, pcol_ref, out_ref, *,
         core = jax.lax.dot_general(
             filt_ref[:, t0 : t0 + strip], windows, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # (strip, TN) int32
+        )
         val = pcol_ref[t0 : t0 + strip, :] - core * _VAL_SCALE
-        m = jnp.max(val, axis=0, keepdims=True)  # (1, TN)
+        m = jnp.max(val, axis=0, keepdims=True)
         best = m if best is None else jnp.maximum(best, m)
+    out_ref[:] = jnp.maximum(best, 0)
 
-    out_ref[:] = jnp.maximum(best, 0)  # misses (<0) -> 0 = no match
+
+def _interleave_rows(width: int):
+    """Row permutation taking block-ordered filt (sym rows, hi rows, lo
+    rows, consts) to the in-kernel construction order (sym_j, hi_j, lo_j
+    per offset j, consts last)."""
+    perm = []
+    for j in range(width):
+        perm += [j, width + j, 2 * width + j]
+    perm += [3 * width, 3 * width + 1, 3 * width + 2]
+    return np.asarray(perm)
 
 
 def _build_windows(q, width: int):
@@ -281,12 +339,21 @@ def _build_windows(q, width: int):
     return jnp.stack(rows, axis=1)  # (B, 3W+3, N)
 
 
-def longest_match(q, matcher: PallasMatcher, *, tile_n: int = 2048,
-                  strip: int = 1792, interpret: bool = False):
+def longest_match(q, matcher: PallasMatcher, *, tile_n: int | None = None,
+                  strip: int | None = None, interpret: bool = False):
     """(B, N) symbols -> (match_tok, match_len) int32, longest dict token
-    per position (single-symbol fallback, ops/bpe_encode semantics)."""
+    per position (single-symbol fallback, ops/bpe_encode semantics).
+
+    tile_n/strip default per kernel: the in-kernel-Toeplitz val path runs
+    fastest at (8192, 3584) on v5e; the prebuilt-window id-dot fallback
+    keeps its swept (2048, 1792).
+    """
     b, n = q.shape
     q = q.astype(jnp.int32)
+    if tile_n is None:
+        tile_n = 8192 if matcher.use_val else 2048
+    if strip is None:
+        strip = 3584 if matcher.use_val else 1792
     tile_n = min(tile_n, -(-n // 128) * 128)
     # Records are concatenated into ONE position stream (grid and output
     # blocks then satisfy Mosaic's (8, 128)-or-full-dim tiling with a
@@ -297,36 +364,56 @@ def longest_match(q, matcher: PallasMatcher, *, tile_n: int = 2048,
         n_pad += tile_n
     q_padded = jnp.pad(q, ((0, 0), (0, n_pad - n)), constant_values=PAD_SYMBOL)
     flat = q_padded.reshape(1, b * n_pad)
-    windows = _build_windows(flat, matcher.width)  # (1, 3W, B*n_pad)
     nb = b * n_pad // tile_n
 
-    w3 = 3 * matcher.width + 3
-    if matcher.use_val:
-        kernel = functools.partial(_match_kernel_val, strip=strip)
-        tables = (matcher.pcol,)
-        table_specs = [pl.BlockSpec(matcher.pcol.shape, lambda i: (0, 0))]
-        pack = _VAL_PACK
-    else:
-        kernel = functools.partial(
-            _match_kernel, strip=strip, lengths=matcher.lengths,
-        )
-        tables = (matcher.digits,)
-        table_specs = [pl.BlockSpec(matcher.digits.shape, lambda i: (0, 0))]
-        pack = _PACK
-    packed = pl.pallas_call(
-        kernel,
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((1, b * n_pad), jnp.int32),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, w3, tile_n), lambda i: (0, 0, i)),
-            pl.BlockSpec(matcher.filt.shape, lambda i: (0, 0)),
-        ] + table_specs,
         out_specs=pl.BlockSpec((1, tile_n), lambda i: (0, i)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,  # v5e has 128 MB VMEM
         ),
         interpret=interpret,
-    )(windows, matcher.filt, *tables)
+    )
+    if matcher.use_val:
+        # in-kernel Toeplitz: ship the raw int8 symbols twice (current
+        # tile + lookahead tile); one extra PAD tile keeps the lookahead
+        # block index in bounds on the last tile
+        sym8 = jnp.pad(
+            flat.astype(jnp.int8), ((0, 0), (0, tile_n)),
+            constant_values=PAD_SYMBOL,
+        )
+        filt_i = matcher.filt[_interleave_rows(matcher.width)]
+        kernel = functools.partial(
+            _match_kernel_inker, strip=strip, width=matcher.width,
+        )
+        packed = pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec((1, tile_n), lambda i: (0, i)),
+                pl.BlockSpec((1, tile_n), lambda i: (0, i + 1)),
+                pl.BlockSpec(filt_i.shape, lambda i: (0, 0)),
+                pl.BlockSpec(matcher.pcol.shape, lambda i: (0, 0)),
+            ],
+            **common,
+        )(sym8, sym8, filt_i, matcher.pcol)
+        pack = _VAL_PACK
+    else:
+        windows = _build_windows(flat, matcher.width)  # (1, 3W+3, B*n_pad)
+        w3 = 3 * matcher.width + 3
+        kernel = functools.partial(
+            _match_kernel, strip=strip, lengths=matcher.lengths,
+        )
+        packed = pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec((1, w3, tile_n), lambda i: (0, 0, i)),
+                pl.BlockSpec(matcher.filt.shape, lambda i: (0, 0)),
+                pl.BlockSpec(matcher.digits.shape, lambda i: (0, 0)),
+            ],
+            **common,
+        )(windows, matcher.filt, matcher.digits)
+        pack = _PACK
 
     packed = packed.reshape(b, n_pad)[:, :n]
     match_tok = jnp.where(packed > 0, packed % pack, q + _BYTE_A)
@@ -426,8 +513,8 @@ def _encode_impl(q, filt, digits, pcol, width, max_len, lengths, use_val,
     return ids, counts
 
 
-def encode(q, matcher: PallasMatcher, *, tile_n: int = 2048,
-           strip: int = 1792, interpret: bool = False):
+def encode(q, matcher: PallasMatcher, *, tile_n: int | None = None,
+           strip: int | None = None, interpret: bool = False):
     """Encode symbol stream(s) to BPE ids on device via the Pallas path.
 
     Same contract as ops/bpe_encode.encode: ``q`` uint8 [N] or [B, N],
