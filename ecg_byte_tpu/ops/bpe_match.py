@@ -47,10 +47,16 @@ offset j (``pltpu.roll`` — rotations produce canonical layouts, unlike
 lane-offset slices, so the row concat is legal in Mosaic), with the filt
 rows interleaved (sym_j, hi_j, lo_j) to match.  HBM traffic per tile
 drops from 39xTN window bytes to 2xTN symbol bytes.  Measured:
-37.2 -> 29.0 ms at tile_n=8192, strip=3584 (sweep: 16k/32k tiles are
-2-4 ms worse — VMEM pressure), vs a 26.0 ms epilogue-included floor with
-prebuilt random windows and a 23.6 ms dot-only floor (invariant in K for
-K <= 128 — int8 MXU output-rate law, ~1.19e12 outputs/s).  Negative
+37.2 -> 29.0 ms at tile_n=8192, strip=3584 on the plain mean-over-6
+harness (sweep: 16k/32k tiles are 2-4 ms worse — VMEM pressure); with
+the fixed per-sync tunnel RTT slope-differenced out
+(bench.bench_preprocess_stages), the stage is 23.9 ms — AT the 23.6 ms
+dot-only floor (same harness), i.e. the in-kernel construction and the
+epilogue are fully hidden behind the MXU.  The dot floor is invariant
+in K for K <= 128 (int8 MXU output-rate law, ~1.19e12 outputs/s), so
+this formulation is done: every further lever must cut OUTPUTS
+(tokens x positions), and the measured negative results below say the
+reorder costs of doing so exceed the dot savings.  Negative
 results so far, for the record: first-symbol bucketing (14x fewer
 outputs) dies on gather/sort reorder costs (XLA gathers 108-974 ms);
 ECG smoothness gives no usable first-symbol locality at any block size;
