@@ -43,6 +43,13 @@ class TransformerConfig:
     rmsnorm_unit_offset: bool = False
     hidden_act: str = "silu"  # 'silu' (swiglu), 'gelu' (gpt2), 'gelu_tanh' (gemma)
     dtype: str = "bfloat16"
+    # Set by transformer.fold_norm_scales: the per-feature RMSNorm weights
+    # have been folded into the frozen projection kernels, so blocks apply
+    # only the per-row rsqrt scale — and apply it AFTER each projection
+    # dot (s commutes through the contraction).  The normalized (B, S, D)
+    # tensor and its backward chain never materialize (~14 ms/step at the
+    # flagship 4x1024, TRAINPERF.md round 4b).  RMSNorm archs only.
+    norm_folded: bool = False
 
     # LoRA defaults mirroring the reference (main.py:131-138)
     lora_rank: int = 16

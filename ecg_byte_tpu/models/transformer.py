@@ -129,6 +129,79 @@ def _slim(x):
     return checkpoint_name(x, "ecg_slim")
 
 
+def _norm_scale(x, config: TransformerConfig):
+    """Per-row RMSNorm scale (B, S, 1) f32 for the norm-folded path."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), -1, keepdims=True)
+    return jax.lax.rsqrt(var + config.norm_eps)
+
+
+def fold_norm_scales(params: Params, config: TransformerConfig):
+    """Fold RMSNorm per-feature weights into the projection kernels.
+
+    ``RMSNorm(x) @ W == s * (x @ (w[:, None] * W))`` where
+    ``s = rsqrt(mean(x^2) + eps)`` is per-row: the row scale commutes
+    through the contraction, and the per-feature weight ``w`` folds into
+    the kernel's input rows.  With the fold applied (and blocks running
+    the ``config.norm_folded`` path) the normalized (B, S, D) tensor —
+    and its f32 backward chain of reductions/broadcasts — never exists;
+    measured ~14 ms of a 219 ms flagship train step (TRAINPERF round 4b).
+
+    Returns ``(params', config')``.  Only valid for RMSNorm archs (llama/
+    gemma); a gpt2 config is returned unchanged.  The folded tree keeps
+    the ORIGINAL norm weights under ``attn_norm_w``/``mlp_norm_w`` (the
+    LoRA A-projections fold them in per step — a (D, r) elementwise, so
+    adapters still see exactly the normalized input and remain
+    value-compatible with unfolded checkpoints), and sets the norm
+    entries themselves to the identity so any classic-path consumer of
+    the folded tree computes the same function.  This is a LOAD-TIME
+    transform for a frozen base (PEFT training / serving): persist the
+    original tree, not the folded one.
+    """
+    if config.arch == "gpt2" or config.norm_folded:
+        return params, config
+
+    def w_of(norm_w):
+        w = norm_w.astype(jnp.float32)
+        return (1.0 + w) if config.rmsnorm_unit_offset else w
+
+    ident = 0.0 if config.rmsnorm_unit_offset else 1.0
+    layers = dict(params["layers"])
+
+    def fold(kernel_holder, w):
+        holder = dict(kernel_holder)
+        kern = holder["kernel"]
+        holder["kernel"] = (
+            w[:, :, None] * kern.astype(jnp.float32)
+        ).astype(kern.dtype)
+        return holder
+
+    w_attn = w_of(layers["attn_norm"])  # (L, D)
+    for name in ("q_proj", "k_proj", "v_proj"):
+        layers[name] = fold(layers[name], w_attn)
+    w_mlp = w_of(layers["mlp_norm"])
+    for name in ("gate_proj", "up_proj"):
+        if name in layers:
+            layers[name] = fold(layers[name], w_mlp)
+    layers["attn_norm_w"] = w_attn.astype(layers["attn_norm"].dtype)
+    layers["mlp_norm_w"] = w_mlp.astype(layers["mlp_norm"].dtype)
+    layers["attn_norm"] = jnp.full_like(layers["attn_norm"], ident)
+    layers["mlp_norm"] = jnp.full_like(layers["mlp_norm"], ident)
+
+    out = dict(params)
+    out["layers"] = layers
+    if "lm_head" in out and not config.tie_word_embeddings:
+        w_final = w_of(params["final_norm"])  # (D,)
+        head = out["lm_head"]
+        out["lm_head"] = (
+            w_final[:, None] * head.astype(jnp.float32)
+        ).astype(head.dtype)
+        out["final_norm"] = jnp.full_like(params["final_norm"], ident)
+    # tied embeddings: final_norm stays as-is and _unembed keeps the
+    # classic norm — one materialized norm instead of 33
+    return out, config.replace(norm_folded=True)
+
+
 def _norm(x, weight, bias, config: TransformerConfig):
     eps = config.norm_eps
     xf = x.astype(jnp.float32)
@@ -232,14 +305,22 @@ def _kernel_matmul(x, p):
     return x @ p["kernel"]
 
 
-def _proj(x, layer_p, name, lora_p, config: TransformerConfig, dropout_rng):
-    """Dense projection with optional LoRA overlay (models/lora.py trees)."""
+def _proj(x, layer_p, name, lora_p, config: TransformerConfig, dropout_rng,
+          post_scale=None, fold_w=None):
+    """Dense projection with optional LoRA overlay (models/lora.py trees).
+
+    ``post_scale``/``fold_w``: norm-folded path, see :func:`_proj_group`.
+    """
     p = layer_p[name]
     y = _kernel_matmul(x, p)
+    if post_scale is not None:
+        y = _slim(y * post_scale.astype(y.dtype))
     if "bias" in p:
         y = y + p["bias"]
     if lora_p is not None and name in lora_p:
         a, b = lora_p[name]["a"], lora_p[name]["b"]  # (in, r), (r, out)
+        if fold_w is not None:
+            a = fold_w[:, None].astype(a.dtype) * a
         rate = config.lora_dropout
         style = getattr(config, "lora_dropout_style", "rank")
         if dropout_rng is None or rate <= 0.0:
@@ -248,7 +329,7 @@ def _proj(x, layer_p, name, lora_p, config: TransformerConfig, dropout_rng):
             # mask the r-dim adapter activations (config.py rationale):
             # the A-dot reads raw x and the mask is (B, S, r) — ~D/r
             # fewer random bits than input-style masking
-            xa = _rank_dropout(x @ a, config, dropout_rng, name)
+            xa = x @ a
         else:  # "input": HF PEFT parity — mask the adapter input rows
             keep = jax.random.bernoulli(
                 jax.random.fold_in(dropout_rng, hash(name) % (2**31)),
@@ -256,6 +337,10 @@ def _proj(x, layer_p, name, lora_p, config: TransformerConfig, dropout_rng):
                 x.shape,
             )
             xa = _slim(jnp.where(keep, x / (1.0 - rate), 0.0)) @ a
+        if post_scale is not None:
+            xa = _slim(xa * post_scale.astype(xa.dtype))
+        if dropout_rng is not None and rate > 0.0 and style == "rank":
+            xa = _rank_dropout(xa, config, dropout_rng, name)
         y = y + (xa @ b) * (config.lora_alpha / config.lora_rank)
     return y
 
@@ -284,7 +369,7 @@ def _lora_dropout(x, config: TransformerConfig, dropout_rng, salt: str):
 
 
 def _proj_group(x, layer_p, names, lora_p, config: TransformerConfig,
-                dropout_rng):
+                dropout_rng, post_scale=None, fold_w=None):
     """Dense projections sharing input ``x``, LoRA A-sides fused.
 
     The base matmuls stay separate (XLA runs them back-to-back at full MXU
@@ -295,26 +380,43 @@ def _proj_group(x, layer_p, names, lora_p, config: TransformerConfig,
     dropout mask across its adapters (vs per-projection masks in HF PEFT
     — an intentional, documented deviation; masks stay independent across
     groups and layers-via-rng-fold are unchanged).
+
+    Norm-folded path (``post_scale``/``fold_w`` set, see
+    :func:`fold_norm_scales`): ``x`` is the RAW residual stream; the
+    per-row rsqrt scale multiplies each dot's OUTPUT (a fused epilogue)
+    and the norm's per-feature weight — already folded into the frozen
+    base kernels — folds into the adapter A at (D, r) cost, so adapters
+    see exactly the normalized input.
     """
     outs = []
     use_lora = lora_p is not None and all(n in lora_p for n in names)
     if use_lora:
         a_cat = jnp.concatenate([lora_p[n]["a"] for n in names], axis=-1)
+        if fold_w is not None:
+            a_cat = fold_w[:, None].astype(a_cat.dtype) * a_cat
         style = getattr(config, "lora_dropout_style", "rank")
         if style == "rank":
             # raw x feeds the fused A-dot; the (B, S, len*r) mask is
             # per-feature, so adapters stay independently masked
             xa = x @ a_cat
+            if post_scale is not None:
+                xa = _slim(xa * post_scale.astype(xa.dtype))
             if dropout_rng is not None and config.lora_dropout > 0.0:
                 xa = _rank_dropout(xa, config, dropout_rng, "/".join(names))
         else:
             xin = _lora_dropout(x, config, dropout_rng, "/".join(names))
             xa = xin @ a_cat  # (B, S, len(names)*r)
+            if post_scale is not None:
+                xa = _slim(xa * post_scale.astype(xa.dtype))
         r = config.lora_rank
         scale = config.lora_alpha / config.lora_rank
     for i, name in enumerate(names):
         p = layer_p[name]
         y = _kernel_matmul(x, p)
+        if post_scale is not None:
+            # tag the scaled copy: under remat="slim" only the dot output
+            # is saved; the replay is one VPU multiply
+            y = _slim(y * post_scale.astype(y.dtype))
         if "bias" in p:
             y = y + p["bias"]
         if use_lora:
@@ -348,11 +450,23 @@ def _block(
     """
     c = config
     b, s, _ = h.shape
+    folded = c.norm_folded and "attn_norm_w" in layer_p
 
-    hn = _norm(h, layer_p["attn_norm"], layer_p.get("attn_norm_bias"), c)
-    q, k, v = _proj_group(
-        hn, layer_p, ("q_proj", "k_proj", "v_proj"), lora_p, c, dropout_rng
-    )
+    if folded:
+        # fold_norm_scales path: raw h feeds the dots, the per-row rsqrt
+        # scale applies post-dot, and the normalized (B, S, D) tensor —
+        # plus its f32 backward chain — never materializes
+        q, k, v = _proj_group(
+            h, layer_p, ("q_proj", "k_proj", "v_proj"), lora_p, c,
+            dropout_rng, post_scale=_norm_scale(h, c),
+            fold_w=layer_p["attn_norm_w"],
+        )
+    else:
+        hn = _norm(h, layer_p["attn_norm"], layer_p.get("attn_norm_bias"), c)
+        q, k, v = _proj_group(
+            hn, layer_p, ("q_proj", "k_proj", "v_proj"), lora_p, c,
+            dropout_rng
+        )
     q = q.reshape(b, s, c.num_heads, c.head_dim)
     k = k.reshape(b, s, c.num_kv_heads, c.head_dim)
     v = v.reshape(b, s, c.num_kv_heads, c.head_dim)
@@ -363,15 +477,22 @@ def _block(
     attn = attn.reshape(b, s, c.qkv_dim)
     h = h + _proj(attn, layer_p, "o_proj", lora_p, c, dropout_rng)
 
-    hn = _norm(h, layer_p["mlp_norm"], layer_p.get("mlp_norm_bias"), c)
-    if "gate_proj" in layer_p:
+    if folded:
         gate, up = _proj_group(
-            hn, layer_p, ("gate_proj", "up_proj"), lora_p, c, dropout_rng
+            h, layer_p, ("gate_proj", "up_proj"), lora_p, c, dropout_rng,
+            post_scale=_norm_scale(h, c), fold_w=layer_p["mlp_norm_w"],
         )
         inner = _slim(_act(gate, c.hidden_act) * up)
     else:
-        up = _proj(hn, layer_p, "up_proj", lora_p, c, dropout_rng)
-        inner = _act(up, c.hidden_act)
+        hn = _norm(h, layer_p["mlp_norm"], layer_p.get("mlp_norm_bias"), c)
+        if "gate_proj" in layer_p:
+            gate, up = _proj_group(
+                hn, layer_p, ("gate_proj", "up_proj"), lora_p, c, dropout_rng
+            )
+            inner = _slim(_act(gate, c.hidden_act) * up)
+        else:
+            up = _proj(hn, layer_p, "up_proj", lora_p, c, dropout_rng)
+            inner = _act(up, c.hidden_act)
     h = h + _proj(inner, layer_p, "down_proj", lora_p, c, dropout_rng)
     return h, aux
 
