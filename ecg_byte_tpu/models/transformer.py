@@ -497,6 +497,45 @@ def _block(
     return h, aux
 
 
+def _dots_policy():
+    """The tuned ``remat="dots"`` save policy (flagship-profiled on v5e).
+
+    Three refinements over stock ``dots_with_no_batch_dims_saveable``,
+    each worth real step time at the 4x1024 flagship shape:
+
+    - dots with a NARROW contraction (K <= 32) are NOT saved: those are
+      the rank-16 LoRA B-dot deltas, whose (B, S, N) outputs are as wide
+      as the base projections (2 x 67 MB per layer for gate/up) but cost
+      ~0.2 ms/step total to recompute from the saved (B, S, r) A-dot
+      outputs — dropping their save/restore DUS traffic measured
+      206.6 -> 195.0 ms/step;
+    - the resident attention kernel's named residual ("ecg_attn",
+      ops/attention_resident._resident_fwd) IS saved: a pallas_call is
+      not a dot_general, so the unnamed policy replayed every layer's
+      attention forward in the backward (-3 ms);
+    - everything else follows the stock dots heuristic (wide base
+      projections saved — excluding them and recomputing was measured
+      NET NEGATIVE: recompute 25 ms > copies saved, TRAINPERF round 4c).
+    """
+
+    def dots_k_gt32(prim, *args, **params):
+        if prim is jax.lax.dot_general_p:
+            (lc, _), (lb, rb) = params["dimension_numbers"]
+            if lb or rb:
+                return False
+            lhs = args[0]
+            k = 1
+            for i in lc:
+                k *= lhs.shape[i]
+            return k > 32
+        return False
+
+    return jax.checkpoint_policies.save_from_both_policies(
+        dots_k_gt32,
+        jax.checkpoint_policies.save_only_these_names("ecg_attn"),
+    )
+
+
 def _scan_layers(
     config: TransformerConfig,
     h: jax.Array,
@@ -505,6 +544,7 @@ def _scan_layers(
     layer_step,  # (h, layer_p, lora_p, extra_xs) -> (h, ys)
     extra_xs=None,  # optional pytree with leading layer axis
     remat=False,
+    unroll=1,
 ):
     """Scan ``layer_step`` over the stacked layer axis.
 
@@ -540,10 +580,7 @@ def _scan_layers(
         return layer_step(carry, layer_p, lora_p, extra)
 
     if remat == "dots":
-        body = jax.checkpoint(
-            body,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-        )
+        body = jax.checkpoint(body, policy=_dots_policy())
     elif remat == "slim":
         # save everything EXCEPT the _slim-tagged f32/wide elementwise
         # results (norm scaling, rope rotation, silu product, masked
@@ -558,7 +595,16 @@ def _scan_layers(
         )
     elif remat:
         body = jax.checkpoint(body)
-    return jax.lax.scan(body, h, xs)
+    # ``unroll=True`` (training steps) removes the scan's residual-stacking
+    # machinery: under a per-layer jax.checkpoint the rolled scan must
+    # dynamic-update-slice every saved dot into (L, B, S, N) stacks on the
+    # forward and dynamic-slice them back on the backward — measured
+    # 53 ms/step of DUS/DS traffic at the flagship 4x1024 on v5e, 7.3 ms
+    # of it exposed (195.4 -> 188.1 ms/step) even after overlap.  Unrolled,
+    # each layer's residuals are plain buffers the consumer reads in
+    # place.  The price is compile time (L bodies instead of one), so the
+    # default stays rolled for interactive paths (decode/eval/interpret).
+    return jax.lax.scan(body, h, xs, unroll=unroll)
 
 
 def _embed(params, config: TransformerConfig, input_ids, positions):
@@ -618,6 +664,7 @@ def forward(
     return_attentions: bool = False,
     remat="dots",
     return_hidden: bool = False,
+    scan_unroll=1,
 ):
     """Causal LM forward pass -> float32 logits (B, S, V).
 
@@ -668,7 +715,9 @@ def forward(
         )
         return h, None
 
-    h, _ = _scan_layers(c, h, params, lora, layer_step, remat=remat)
+    h, _ = _scan_layers(
+        c, h, params, lora, layer_step, remat=remat, unroll=scan_unroll
+    )
     if return_hidden:
         return h
     return _unembed(params, c, h)

@@ -35,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -194,6 +195,13 @@ def _resident_fwd(qg, k, v, pad_mask, block_m, interpret=False):
     # The backward re-derives the flat layout with one cheap transpose —
     # the same relayout it already performs on the incoming gradient.
     del of
+    # Name the RESIDUAL so remat policies can elect to save it: a
+    # pallas_call is not a dot_general, so under remat="dots" an unnamed
+    # `out` is rematerialized by replaying the whole forward kernel in
+    # the backward (measured 6.5 ms/step at the flagship 4x1024; the
+    # tensor itself is 16.8 MB/layer bf16).  Tagging a copy outside the
+    # custom_vjp does NOT help — the vjp demands this exact residual.
+    out = checkpoint_name(out, "ecg_attn")
     return out, (qg, k, v, pad_mask, out)
 
 
