@@ -109,6 +109,17 @@ class PallasMatcher(NamedTuple):
     use_val: whether the val epilogue's bounds hold (id < _VAL_PACK,
       len <= 16) — canonical tokenizers qualify; larger ids fall back to
       the id-dot epilogue.
+    bfilt: int8 (10*bwidth + 2, T) — the round-4d BIT-PLANE match table
+      for the two-positions-per-output-column kernel (_match_kernel_bits):
+      per offset j < bwidth, five rows hold ``1 - 2*t_bit`` per symbol bit
+      (so the dot against the window's bit planes counts MISMATCHED bits,
+      0 iff the token matches), repeated for the second packed position,
+      plus two trailing cadd rows folding ``sum of set token bits``.
+    bwidth: bit-table window width (== max_len when use_bits).
+    use_bits: bounds for the packed-pair kernel — max_len <= 12 keeps the
+      per-position mismatch count < 64 AND the packed contraction depth
+      10*bwidth + 2 <= 128 (one MXU pass).  Longer vocabularies (13..16)
+      fall back to the arithmetic-identity kernel.
     """
 
     width: int
@@ -118,6 +129,9 @@ class PallasMatcher(NamedTuple):
     max_len: int
     pcol: jax.Array
     use_val: bool
+    bfilt: jax.Array
+    bwidth: int
+    use_bits: bool
 
 
 def build_pallas_matcher(
@@ -168,6 +182,9 @@ def build_pallas_matcher(
     pcol = np.zeros((t_pad, 1), np.int32)
     max_id = max(by_seq.values(), default=0)
     use_val = max_id < _VAL_PACK and max_len <= 16
+    use_bits = use_val and max_len <= _BITS_MAX_LEN
+    bwidth = min(max(max_len, 2), _BITS_MAX_LEN)
+    bfilt = np.zeros((10 * bwidth + 2, t_pad), np.int8)
     for col, (symbols, token_id) in enumerate(by_seq.items()):
         for j, s in enumerate(symbols):
             filt[j, col] = -2 * s
@@ -183,6 +200,19 @@ def build_pallas_matcher(
         digits[2 * li + 1, col] = token_id % 128
         if use_val:
             pcol[col, 0] = len(symbols) * _VAL_PACK + token_id
+        if use_bits:
+            badd = 0
+            for j, s in enumerate(symbols):
+                for k in range(5):
+                    tb = (s >> k) & 1
+                    w = 1 - 2 * tb  # dot with bit b gives b XOR t - t
+                    bfilt[5 * j + k, col] = w
+                    bfilt[5 * bwidth + 5 * j + k, col] = w
+                    badd += tb
+            # c = sum b*(1-2t) + sum t == number of mismatched bits over
+            # the token's 5*len window bits; badd <= 5*12 = 60 (int8-safe)
+            bfilt[10 * bwidth, col] = badd
+            bfilt[10 * bwidth + 1, col] = badd
     return PallasMatcher(
         width=width,
         filt=jnp.asarray(filt),
@@ -191,6 +221,9 @@ def build_pallas_matcher(
         max_len=max_len,
         pcol=jnp.asarray(pcol),
         use_val=use_val,
+        bfilt=jnp.asarray(bfilt),
+        bwidth=bwidth,
+        use_bits=use_bits,
     )
 
 
@@ -239,6 +272,91 @@ def _match_kernel(win_ref, filt_ref, dig_ref, out_ref, *,
 
 _VAL_PACK = 4096  # val-kernel P format: len * 4096 + id (id < 4096)
 _VAL_SCALE = 131072  # > P_max = 16*4096+4095; 131072 * core_max < 2^31
+_BITS_MAX_LEN = 12  # bits kernel: 10*12+2 = 122 <= 128 rows, 5*12 = 60 < 64
+
+
+def _match_kernel_bits(cur_ref, nxt_ref, filt_ref, pcol_ref, out_ref, *,
+                       strip: int, width: int):
+    """TWO positions per output column via the bit-plane mismatch count.
+
+    The round-4b module docstring recorded position packing as a negative
+    result: under the (sym - t)^2 identity the per-position score reaches
+    16 * 26^2 = 10,816, so separating two packed scores needs a 2^14
+    relative scale that no int8 operand split can carry.  This kernel
+    changes the IDENTITY instead of the scale: with symbols expanded into
+    their five bit planes (symbols < 27 < 32),
+
+        c = sum_{j<len,k<5} (b_{j,k} XOR t_{j,k})
+          = sum b_{j,k} * (1 - 2 t_{j,k})  +  sum t_{j,k}
+
+    counts MISMATCHED WINDOW BITS — still 0 exactly on a hit, but now
+    bounded by 5 * max_len <= 60 < 64 for max_len <= 12.  A 64x relative
+    scale fits int8 on the WINDOW side alone (bit features are 0/1, so
+    the second position's planes are 0/64), and one dot computes
+
+        core[t, l] = c_p(l) + 64 * c_q(l + TN/2)        (l < TN/2)
+
+    with contraction depth 10 * width + 2 <= 122 — still ONE 128-deep MXU
+    pass, at HALF the outputs.  The measured v5e int8 output-rate law
+    (~1.19e12 dot outputs/s, invariant in K <= 128 — see module
+    docstring) is the whole story of the 23.6 ms dot floor, so halving
+    outputs halves the floor.  Epilogue: extract both mismatch fields
+    (c_p = core & 63, c_q = core >> 6 — both fields are >= 0 so no
+    borrows), run the packed-value max per field, and write the two
+    half-tiles side by side.  Padded token columns are all-zero rows with
+    pcol 0: core 0 -> val 0, absorbed by the final max-with-0.
+
+    Tables from :func:`build_pallas_matcher` (bfilt/pcol); gated by
+    ``use_bits`` (max_len <= 12 — canonical ECG tokenizers measure
+    max_len ~12 at 3.5k merges; longer vocabularies fall back to
+    :func:`_match_kernel_inker`).
+    """
+    tn = cur_ref.shape[1]
+    half = tn // 2
+    ext = jnp.concatenate(
+        [cur_ref[:, :], nxt_ref[:, :128]], axis=1
+    ).astype(jnp.int32)
+    planes = jnp.concatenate(
+        [
+            jnp.bitwise_and(jax.lax.shift_right_logical(ext, k), 1)
+            for k in range(5)
+        ],
+        axis=0,
+    )  # (5, X) int32 bit planes
+    x = planes.shape[1]
+    pieces_p = []
+    pieces_q = []
+    for j in range(width):
+        rp = pltpu.roll(planes, x - j, 1) if j else planes
+        rq = pltpu.roll(planes, x - j - half, 1)
+        pieces_p.append(jax.lax.slice(rp, (0, 0), (5, half)))
+        pieces_q.append(jax.lax.slice(rq, (0, 0), (5, half)))
+    wp = jnp.concatenate(pieces_p, axis=0).astype(jnp.int8)
+    wq = (jnp.concatenate(pieces_q, axis=0) * 64).astype(jnp.int8)
+    const = jnp.ones((1, half), jnp.int8)
+    windows = jnp.concatenate(
+        [wp, wq, const, const * jnp.int8(64)], axis=0
+    )  # (10W+2, TN/2)
+
+    t_total = filt_ref.shape[1]
+    strip = min(strip, t_total)
+    best_p = None
+    best_q = None
+    for t0 in range(0, t_total, strip):
+        core = jax.lax.dot_general(
+            filt_ref[:, t0 : t0 + strip], windows, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (strip, TN/2): c_p + 64*c_q, both fields in [0, 60]
+        pc = pcol_ref[t0 : t0 + strip, :]
+        vp = pc - jnp.bitwise_and(core, 63) * _VAL_SCALE
+        vq = pc - jax.lax.shift_right_logical(core, 6) * _VAL_SCALE
+        mp = jnp.max(vp, axis=0, keepdims=True)
+        mq = jnp.max(vq, axis=0, keepdims=True)
+        best_p = mp if best_p is None else jnp.maximum(best_p, mp)
+        best_q = mq if best_q is None else jnp.maximum(best_q, mq)
+    out_ref[:] = jnp.maximum(
+        jnp.concatenate([best_p, best_q], axis=1), 0
+    )
 
 
 def _match_kernel_inker(cur_ref, nxt_ref, filt_ref, pcol_ref, out_ref, *,
@@ -346,13 +464,18 @@ def _build_windows(q, width: int):
 
 
 def longest_match(q, matcher: PallasMatcher, *, tile_n: int | None = None,
-                  strip: int | None = None, interpret: bool = False):
+                  strip: int | None = None, interpret: bool = False,
+                  bits: bool | None = None):
     """(B, N) symbols -> (match_tok, match_len) int32, longest dict token
     per position (single-symbol fallback, ops/bpe_encode semantics).
 
-    tile_n/strip default per kernel: the in-kernel-Toeplitz val path runs
-    fastest at (8192, 3584) on v5e; the prebuilt-window id-dot fallback
-    keeps its swept (2048, 1792).
+    tile_n/strip default per kernel: the packed-pair bits path and the
+    in-kernel-Toeplitz val path run fastest at (8192, 3584) on v5e; the
+    prebuilt-window id-dot fallback keeps its swept (2048, 1792).
+
+    bits: force (True) or disable (False) the packed-pair bit-plane
+    kernel; default auto (when the vocabulary qualifies and the tile
+    splits into two lane-aligned halves).
     """
     b, n = q.shape
     q = q.astype(jnp.int32)
@@ -361,6 +484,12 @@ def longest_match(q, matcher: PallasMatcher, *, tile_n: int | None = None,
     if strip is None:
         strip = 3584 if matcher.use_val else 1792
     tile_n = min(tile_n, -(-n // 128) * 128)
+    if bits is None:
+        bits = matcher.use_bits and tile_n % 256 == 0
+    elif bits and not (matcher.use_bits and tile_n % 256 == 0):
+        raise ValueError(
+            "bits kernel requires use_bits tables and tile_n % 256 == 0"
+        )
     # Records are concatenated into ONE position stream (grid and output
     # blocks then satisfy Mosaic's (8, 128)-or-full-dim tiling with a
     # (1, X) layout).  Per-record padding of >= width PAD symbols keeps
@@ -389,10 +518,16 @@ def longest_match(q, matcher: PallasMatcher, *, tile_n: int | None = None,
             flat.astype(jnp.int8), ((0, 0), (0, tile_n)),
             constant_values=PAD_SYMBOL,
         )
-        filt_i = matcher.filt[_interleave_rows(matcher.width)]
-        kernel = functools.partial(
-            _match_kernel_inker, strip=strip, width=matcher.width,
-        )
+        if bits:
+            filt_i = matcher.bfilt
+            kernel = functools.partial(
+                _match_kernel_bits, strip=strip, width=matcher.bwidth,
+            )
+        else:
+            filt_i = matcher.filt[_interleave_rows(matcher.width)]
+            kernel = functools.partial(
+                _match_kernel_inker, strip=strip, width=matcher.width,
+            )
         packed = pl.pallas_call(
             kernel,
             in_specs=[
@@ -495,16 +630,17 @@ def greedy_chain(match_len, *, tile_rows: int = 2048, interpret: bool = False):
     jax.jit,
     static_argnames=(
         "width", "max_len", "lengths", "tile_n", "strip", "interpret",
-        "use_val",
+        "use_val", "bwidth", "use_bits",
     ),
 )
-def _encode_impl(q, filt, digits, pcol, width, max_len, lengths, use_val,
-                 tile_n, strip, interpret):
+def _encode_impl(q, filt, digits, pcol, bfilt, width, max_len, lengths,
+                 use_val, bwidth, use_bits, tile_n, strip, interpret):
     from ecg_byte_tpu.ops.bpe_encode import _compact
 
     matcher = PallasMatcher(
         width=width, filt=filt, digits=digits, lengths=lengths,
-        max_len=max_len, pcol=pcol, use_val=use_val,
+        max_len=max_len, pcol=pcol, use_val=use_val, bfilt=bfilt,
+        bwidth=bwidth, use_bits=use_bits,
     )
     squeeze = q.ndim == 1
     if squeeze:
@@ -528,7 +664,7 @@ def encode(q, matcher: PallasMatcher, *, tile_n: int | None = None,
     """
     q = jnp.asarray(q)
     return _encode_impl(
-        q, matcher.filt, matcher.digits, matcher.pcol, matcher.width,
-        matcher.max_len, matcher.lengths, matcher.use_val, tile_n, strip,
-        interpret
+        q, matcher.filt, matcher.digits, matcher.pcol, matcher.bfilt,
+        matcher.width, matcher.max_len, matcher.lengths, matcher.use_val,
+        matcher.bwidth, matcher.use_bits, tile_n, strip, interpret
     )

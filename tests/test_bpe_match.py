@@ -126,7 +126,79 @@ def test_val_and_iddot_epilogues_identical(toy):
     assert m.use_val  # toy ids are < 4096
     m_old = m._replace(use_val=False)
     q = np.asarray(recs, np.uint8).reshape(len(recs), -1)
-    tv, lv = bpe_match.longest_match(q, m, interpret=True)
+    tv, lv = bpe_match.longest_match(q, m, interpret=True, bits=False)
     to, lo = bpe_match.longest_match(q, m_old, interpret=True)
     np.testing.assert_array_equal(np.asarray(tv), np.asarray(to))
     np.testing.assert_array_equal(np.asarray(lv), np.asarray(lo))
+
+
+def test_bits_and_inker_kernels_identical(toy):
+    """The round-4d packed-pair bit-plane kernel (two positions per
+    output column, mismatch-bit-count identity) is output-identical to
+    the single-position arithmetic-identity kernel."""
+    merges, recs = toy
+    m = bpe_match.build_pallas_matcher(merges)
+    assert m.use_bits  # toy vocab: ids < 4096 and max_len <= 12
+    q = np.asarray(recs, np.uint8).reshape(len(recs), -1)
+    tb, lb = bpe_match.longest_match(q, m, tile_n=256, interpret=True,
+                                     bits=True)
+    ti, li = bpe_match.longest_match(q, m, tile_n=256, interpret=True,
+                                     bits=False)
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(ti))
+    np.testing.assert_array_equal(np.asarray(lb), np.asarray(li))
+
+
+def test_bits_encode_exact(toy):
+    """End-to-end encode through the bits kernel (tile_n % 256 == 0
+    auto-engages it) is byte-exact vs the native trie."""
+    merges, q = toy
+    pm = bpe_match.build_pallas_matcher(merges)
+    assert pm.use_bits
+    ids, cnt = bpe_match.encode(q, pm, tile_n=256, interpret=True)
+    enc = native.NativeEncoder(merges)
+    for i, row in enumerate(np.asarray(q)):
+        want = [int(t) for t in enc.encode(quantized_to_string(row).encode())]
+        got = [int(t) for t in np.asarray(ids)[i][: int(cnt[i])]]
+        assert got == want
+
+
+def test_bits_boundary_vocabulary():
+    """Bits-kernel boundary cases: a token at the _BITS_MAX_LEN = 12
+    packing bound (mismatch field c <= 60 < 64), a max-set-bits symbol
+    (25 = 0b11001), an all-'a' token (badd == 0, must still differ from
+    padded all-zero table columns via pcol), and a length-13 vocabulary
+    that must fall back to the arithmetic-identity kernel."""
+    a = ord("a")
+    w = bpe_match._BITS_MAX_LEN
+    merges = [
+        (tuple(a + ((i * 7) % 26) for i in range(w)), 300),  # len == 12
+        ((a, a), 4095),  # badd == 0, id at the val packing limit
+        ((a + 25, a + 25, a + 25), 270),  # symbol 25: most set bits
+    ]
+    pm = bpe_match.build_pallas_matcher(merges)
+    assert pm.use_bits and pm.bwidth == w
+    enc = native.NativeEncoder(merges)
+    rng = np.random.default_rng(7)
+    q = (rng.integers(0, 26, size=(2, 4 * w)) % 26).astype(np.uint8)
+    q[0, :w] = [(i * 7) % 26 for i in range(w)]  # plant the long token
+    q[1, :3] = 25  # plant the max-bits token
+    ids, cnt = bpe_match.encode(q, pm, tile_n=256, interpret=True)
+    for i, row in enumerate(np.asarray(q)):
+        want = [int(t) for t in enc.encode(quantized_to_string(row).encode())]
+        got = [int(t) for t in np.asarray(ids)[i][: int(cnt[i])]]
+        assert got == want
+
+    merges13 = [(tuple(a + (i % 26) for i in range(w + 1)), 300),
+                ((a, a), 257)]
+    pm13 = bpe_match.build_pallas_matcher(merges13)
+    assert pm13.use_val and not pm13.use_bits  # inker fallback
+    q13 = np.zeros((1, 4 * w), np.uint8)
+    q13[0, :w + 1] = [(i % 26) for i in range(w + 1)]
+    enc13 = native.NativeEncoder(merges13)
+    ids13, cnt13 = bpe_match.encode(q13, pm13, tile_n=256, interpret=True)
+    want = [int(t) for t in
+            enc13.encode(quantized_to_string(q13[0]).encode())]
+    assert [int(t) for t in np.asarray(ids13)[0][: int(cnt13[0])]] == want
+    with pytest.raises(ValueError, match="bits kernel requires"):
+        bpe_match.longest_match(q13.astype(np.int32), pm13, tile_n=256,
+                                interpret=True, bits=True)
