@@ -322,15 +322,19 @@ def _match_kernel_bits(cur_ref, nxt_ref, filt_ref, pcol_ref, out_ref, *,
             for k in range(5)
         ],
         axis=0,
-    )  # (5, X) int32 bit planes
+    )  # (5, X) int32 bit planes (Mosaic rotates are 32-bit only)
     x = planes.shape[1]
     pieces_p = []
     pieces_q = []
     for j in range(width):
+        # ONE roll serves both packed positions: rp[l] holds position
+        # l + j, so the q slot's window (position l + half + j) is the
+        # SAME rolled array sliced at lane offset `half` — a multiple of
+        # 256/2 >= 128, so the slice is lane-tile aligned and Mosaic
+        # keeps it canonical (unaligned offsets j would not be).
         rp = pltpu.roll(planes, x - j, 1) if j else planes
-        rq = pltpu.roll(planes, x - j - half, 1)
         pieces_p.append(jax.lax.slice(rp, (0, 0), (5, half)))
-        pieces_q.append(jax.lax.slice(rq, (0, 0), (5, half)))
+        pieces_q.append(jax.lax.slice(rp, (0, half), (5, 2 * half)))
     wp = jnp.concatenate(pieces_p, axis=0).astype(jnp.int8)
     wq = (jnp.concatenate(pieces_q, axis=0) * 64).astype(jnp.int8)
     const = jnp.ones((1, half), jnp.int8)
