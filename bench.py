@@ -9,8 +9,11 @@ headline last:
    stream every parameter byte plus the KV prefix, so
    roofline tok/s = measured stream bandwidth / bytes-per-step.
 2. ``train_throughput`` — flagship LoRA train step (batch 4 x 1024).
-   ``vs_baseline`` is MFU against the chip's bf16 peak, with flops taken
-   from XLA's own cost analysis of the compiled step.
+   ``vs_baseline`` is MFU against the chip's bf16 peak, with flops from
+   the analytic 4*N_mm model-flops count (forward 2*N_mm + activation
+   grads 2*N_mm for the frozen-base LoRA step; remat recompute excluded)
+   — see bench_train.  ``vs_attainable`` divides by the same-session
+   measured MXU rate instead (measure_mxu_flops).
 3. ``preprocess_tokenize_throughput`` — ECGs/sec through the fused device
    preprocess + quantize + BPE-encode pipeline vs the reference
    architecture's host path (per-record scipy filtfilt chain, numpy wavelet
@@ -759,6 +762,34 @@ def main():
     np.asarray(prev)
     ingest_rate = 6 * batch / (time.perf_counter() - t0)
 
+    # The ingest metric's denominator: measured host->device transfer rate
+    # THIS session.  The metric is tunnel-bound by design (see comment
+    # above), so without the same-session tunnel rate a swing across
+    # driver rounds (BENCH_r03 385.5 vs BENCH_r04 167.5 ECGs/s) is
+    # unattributable.  Slope-differenced over two transfer counts so the
+    # fixed per-dispatch RTT cancels, same discipline as the HBM/MXU
+    # probes.
+    def _transfer_total(n):
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                jax.device_put(adc).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    try:
+        _transfer_total(1)  # warm
+        t_lo, t_hi = _transfer_total(2), _transfer_total(8)
+        tunnel_bps = (8 - 2) * adc.nbytes / max(t_hi - t_lo, 1e-9)
+        tunnel_row = {
+            "tunnel_gbps": round(tunnel_bps / 1e9, 3),
+            "batch_mb": round(adc.nbytes / 1e6, 1),
+        }
+    except Exception as e:
+        print(f"tunnel probe skipped: {e}", file=sys.stderr)
+        tunnel_row = {}
+
     print(
         json.dumps(
             {
@@ -766,6 +797,7 @@ def main():
                 "value": round(ingest_rate, 2),
                 "unit": "ECGs/s",
                 "vs_baseline": round(ingest_rate / baseline_rate, 2),
+                **tunnel_row,
             }
         )
     )

@@ -62,6 +62,10 @@ def get_args():
                         help='local MedCPT/BERT checkpoint dir for the '
                              'frozen MERL text tower (vocab.txt tokenized '
                              'by the in-repo WordPiece)')
+    parser.add_argument('--allow_hash_text_encoder', action='store_true',
+                        help='degrade to the hash text encoder when the '
+                             '--text_encoder checkpoint fails to load '
+                             '(default: raise loudly)')
     return parser.parse_args()
 
 
@@ -137,7 +141,8 @@ def build_backbone(args, rng):
         )
         params = {"resnet": rp, "head": head}
         text_encoder = enc.load_frozen_text_encoder(
-            getattr(args, "text_encoder", None)
+            getattr(args, "text_encoder", None),
+            allow_hash_fallback=getattr(args, "allow_hash_text_encoder", False),
         )
 
         def loss_fn(p, bn_state, batch, rng):

@@ -199,12 +199,20 @@ class HashTextEncoder:
         return (emb * mask).sum(1) / np.maximum(mask.sum(1), 1.0)
 
 
-def load_frozen_text_encoder(model_name: Optional[str] = None) -> Callable:
+def load_frozen_text_encoder(
+    model_name: Optional[str] = None, allow_hash_fallback: bool = False
+) -> Callable:
     """Frozen text encoder: functional JAX BERT from a local checkpoint
-    (e.g. MedCPT-Query-Encoder) when available, else the hash encoder.
+    (e.g. MedCPT-Query-Encoder), or the hash encoder when no checkpoint
+    is named.
 
     The reference computes the text embedding under no_grad (merl.py:197),
-    so a frozen encoder reproduces its actual training behavior."""
+    so a frozen encoder reproduces its actual training behavior.
+
+    A named checkpoint that fails to load RAISES (a corrupt local BERT
+    must not silently turn the MERL baseline into hash embeddings
+    mid-run) unless ``allow_hash_fallback=True`` was explicitly set
+    (``--allow_hash_text_encoder`` in the pretrain CLI)."""
     if model_name:
         try:
             import os
@@ -231,5 +239,12 @@ def load_frozen_text_encoder(model_name: Optional[str] = None) -> Callable:
                 tokenizer = WordPieceTokenizer(vocab_file, lower_case=lower)
             return JaxBertTextEncoder(params, config, tokenizer)
         except Exception as e:
+            if not allow_hash_fallback:
+                raise RuntimeError(
+                    f"text encoder checkpoint {model_name!r} failed to "
+                    f"load ({e}); pass allow_hash_fallback=True "
+                    "(--allow_hash_text_encoder) to degrade to the hash "
+                    "encoder instead"
+                ) from e
             print(f"local BERT unavailable ({e}); using hash text encoder")
     return HashTextEncoder()

@@ -102,6 +102,21 @@ def test_wordpiece_call_matches_bert_tokenizer(bert_ckpt):
     np.testing.assert_array_equal(got.attention_mask, want["attention_mask"])
 
 
+def test_broken_checkpoint_raises_without_optin(tmp_path):
+    """A named-but-broken checkpoint must raise, not silently degrade the
+    MERL baseline to hash embeddings (VERDICT r4 weak #6)."""
+    d = tmp_path / "corrupt_ckpt"
+    d.mkdir()
+    (d / "config.json").write_text("{not json")
+    with pytest.raises(RuntimeError, match="allow_hash_fallback"):
+        enc.load_frozen_text_encoder(str(d))
+    # explicit opt-in restores the old degrade-with-a-print behavior
+    encoder = enc.load_frozen_text_encoder(str(d), allow_hash_fallback=True)
+    assert isinstance(encoder, enc.HashTextEncoder)
+    # no checkpoint named at all -> hash encoder, no error (unchanged)
+    assert isinstance(enc.load_frozen_text_encoder(None), enc.HashTextEncoder)
+
+
 def test_pretrain_dataset_resnet_uses_bert_template(bert_ckpt, tmp_path):
     from ecg_byte_tpu.data.two_stage import ECGCLIPPretrain, TwoStageConfig
 
