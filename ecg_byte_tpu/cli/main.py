@@ -163,11 +163,20 @@ def main():
     )
     directory_path = make_run_dir(args)
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
     params, config, tokenizer = build_model(
         args.model, vocab, hf_weights=args.hf_weights
     )
     print(f"Model {args.model}: vocab={config.vocab_size} "
-          f"hidden={config.hidden_size} layers={config.num_layers}")
+          f"hidden={config.hidden_size} layers={config.num_layers} "
+          f"(build {_time.perf_counter() - _t0:.1f}s)")
+    _log_mem = os.environ.get("ECG_BYTE_LOG_MEMORY") == "1"
+    if _log_mem:
+        from ecg_byte_tpu.utils.profiling import log_live_bytes
+
+        log_live_bytes("after model build + ECG-token resize")
 
     mesh = _mesh_from_args(args)
     peft = bool(args.peft)
@@ -183,6 +192,8 @@ def main():
         state = shard_state(state, config, mesh, peft=peft, fsdp=args.fsdp > 1)
     n_train = lora_lib.count_params(state.trainable)
     print(f"Trainable parameters: {n_train}")
+    if _log_mem:
+        log_live_bytes("after train-state creation (params + opt state)")
 
     data_cfg = DataConfig(
         dataset=args.dataset, pad_to_max=args.pad_to_max,
@@ -273,6 +284,10 @@ def main():
                 # int8 rows (models/quantized.py + init_kv_cache; opt-in,
                 # outputs close-but-not-bitwise-equal to bf16)
                 infer["params"] = quantize_lm_int8(infer["params"], config)
+            if _log_mem and seed == seeds[0]:
+                log_live_bytes("inference: after checkpoint load + "
+                               "LoRA merge" + (" + int8" if args.int8_decode
+                                               else ""))
             seed_results = tester(
                 generate_fn, test_loader, dev=args.dev
             )
@@ -370,6 +385,8 @@ def main():
                 )
                 train_loss.append(train_dic["average_loss"])
                 print(f"Training - Epoch: {epoch+1}\nTrain Loss: {train_dic['average_loss']}")
+                if _log_mem and epoch == start_epoch:
+                    log_live_bytes("after first training epoch")
                 val_dic = validater(
                     state, eval_fn, validation_loader, epoch=epoch, dev=args.dev,
                     log_fn=log_fn, desc=f"Validating {args.model}",

@@ -84,3 +84,18 @@ def log_compile_time(fn: Callable, *args, label: str = "fn") -> float:
     dt = time.perf_counter() - t0
     print(f"[profiling] {label} first call (compile): {dt:.1f}s")
     return dt
+
+
+def log_live_bytes(tag: str) -> int:
+    """Print and return the total bytes of live device arrays.
+
+    The axon PJRT plugin returns no ``memory_stats()``, so peak HBM is not
+    directly readable; live-array residency at phase boundaries is the
+    observable proxy.  Gated behind ``ECG_BYTE_LOG_MEMORY=1`` in the CLIs
+    (used by scripts/flagship_rehearsal.py to record the dress-rehearsal
+    memory profile)."""
+    import jax
+
+    n = sum(int(np.prod(x.shape)) * x.dtype.itemsize for x in jax.live_arrays())
+    print(f"[memory] {tag}: {n / 1e9:.2f} GB live on device", flush=True)
+    return n
