@@ -22,6 +22,15 @@ headline last:
    tokenizer_utils.py + rust_bpe::encode_text run sequentially, as the
    reference's per-item ``__getitem__`` pipeline does).
    ``vs_baseline`` is the speedup over that host path on this machine.
+4. ``pretrain_merl_throughput`` / ``finetune_fusion_throughput`` — the
+   two-stage stack on the real chip: stage-1 MERL ResNet101 contrastive
+   step (samples/s, MFU from XLA cost-analysis flops) and stage-2
+   frozen-encoder + flagship-LoRA fusion step (tokens/s, analytic-model
+   MFU), both with same-session ``vs_attainable`` probes.
+5. ``tokenizer_train`` — BPE merge-learning wall-clock: the csrc
+   incremental trainer vs the reference algorithm (full rescan per merge)
+   compiled in the same translation unit, head-to-head at a common corpus
+   plus documented linear extrapolation to the canonical 200k-ECG scale.
 """
 
 import functools
@@ -630,6 +639,306 @@ def bench_train(config, params):
     return out
 
 
+def _xla_flops_of(jitted, *args):
+    """Executed-FLOP count from XLA's cost analysis of the compiled program
+    (None when the backend does not report it)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = cost.get("flops") if cost else None
+        return float(flops) if flops and flops > 0 else None
+    except Exception:
+        return None
+
+
+def bench_pretrain():
+    """Stage-1 MERL pretrain step (ResNet101-1D contrastive) at the
+    reference shape: batch 128 x (12, 2500) signals, frozen 768-d text
+    embeddings, the combined cross-modal + uni-modal CLIP loss
+    (reference pretrain.py:155-234, ecg_byte/models/merl.py:171-234).
+
+    value = samples/s for the full train step (resnet fwd+bwd, head,
+    losses, adam update).  vs_baseline = MFU-style fraction of the chip's
+    nominal bf16 peak with executed flops taken from XLA's cost analysis
+    of the compiled step; ``vs_attainable`` divides by the same-session
+    measured MXU rate (measure_mxu_flops) like the flagship train row.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ecg_byte_tpu.models import encoders as enc
+    from ecg_byte_tpu.models import resnet1d
+
+    b, leads, siglen = 128, 12, 2500
+    rp, rs, meta = resnet1d.init_resnet(jax.random.PRNGKey(0), "resnet101")
+    feat_shape = jax.eval_shape(
+        lambda p, s, x: resnet1d.resnet_forward(p, s, meta, x)[0],
+        rp, rs, jax.ShapeDtypeStruct((1, leads, siglen), jnp.float32),
+    )
+    head = enc.init_merl_head(
+        jax.random.PRNGKey(1), feature_channels=meta["out_channels"],
+        spacial_dim=int(feat_shape.shape[-1]),
+    )
+    params = {"resnet": rp, "head": head}
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "norm_signal": jnp.asarray(
+            rng.standard_normal((b, leads, siglen), dtype=np.float32)
+        ),
+        "text_emb": jnp.asarray(
+            rng.standard_normal((b, 768), dtype=np.float32)
+        ),
+    }
+
+    def loss_fn(p, bn_state, batch, key):
+        feats, new_bn = resnet1d.resnet_forward(
+            p["resnet"], bn_state, meta, batch["norm_signal"], train=True,
+        )
+        loss, _aux = enc.merl_pretrain_loss(
+            p["head"], feats, batch["text_emb"], dropout_rng=key,
+        )
+        return loss, new_bn
+
+    @jax.jit
+    def step(p, bn_state, opt_state, batch, key):
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, bn_state, batch, key
+        )
+        updates, opt_state = opt.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), new_bn, opt_state, loss
+
+    key = jax.random.key(0, impl="rbg")
+    params, rs, opt_state, loss = step(params, rs, opt_state, batch, key)
+    float(loss)  # compile + warm, hard sync
+
+    def total(n):
+        nonlocal params, rs, opt_state
+        loss = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            params, rs, opt_state, loss = step(params, rs, opt_state, batch, key)
+        float(loss)
+        return time.perf_counter() - t0
+
+    total(2)
+    dt = min((total(8) - total(2)) / 6 for _ in range(2))  # slope-differenced
+    samples_per_s = b / dt
+
+    out = {
+        "metric": "pretrain_merl_throughput",
+        "value": round(samples_per_s, 1),
+        "unit": f"samples/s (resnet101, batch {b} x {leads}x{siglen})",
+        "ms_per_step": round(dt * 1e3, 1),
+        "vs_baseline": 0,
+    }
+    flops = _xla_flops_of(step, params, rs, opt_state, batch, key)
+    if flops:
+        _, peak = _device_peaks()
+        out["vs_baseline"] = round(flops / dt / peak, 3)
+        out["xla_flops_per_step"] = flops
+        try:
+            out["vs_attainable"] = round(flops / dt / measure_mxu_flops(), 3)
+        except Exception as e:
+            print(f"mxu probe skipped: {e}", file=sys.stderr)
+    return out
+
+
+def bench_finetune_fusion(config, params):
+    """Stage-2 fusion train step: frozen ResNet101 signal encoder spliced
+    into the flagship LLM (LoRA), the reference finetune.py:173-199 path.
+
+    Same shape discipline as bench_train (batch 4, sequence 1024 after the
+    <signal> splice): value = tokens/s; vs_baseline = MFU vs nominal peak
+    using the same analytic 4*N_mm LLM flop model (the frozen encoder adds
+    forward-only flops, excluded like remat recompute); ``vs_attainable``
+    divides by the session MXU probe.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ecg_byte_tpu.models import fusion as F
+    from ecg_byte_tpu.models import lora as lora_lib
+    from ecg_byte_tpu.models import resnet1d
+
+    b, s = 4, 1023  # +1 spliced signal embedding -> 1024 positions
+    rp, rs, meta = resnet1d.init_resnet(jax.random.PRNGKey(0), "resnet101")
+    fus = F.init_fusion(
+        jax.random.PRNGKey(1), "resnet_model", config.hidden_size,
+        resnet_channels=meta["out_channels"],
+    )
+    lora = lora_lib.init_lora(config, jax.random.PRNGKey(2))
+    trainable = {"fusion": fus, "lora": lora}
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(trainable)
+
+    rng = np.random.default_rng(0)
+    sig_id = config.vocab_size - 2
+    ids = np.asarray(rng.integers(0, 1000, (b, s)), np.int32)
+    ids[:, 0] = sig_id  # one <signal> placeholder per row
+    batch = {
+        "norm_signal": jnp.asarray(
+            rng.standard_normal((b, 12, 2500), dtype=np.float32)
+        ),
+        "tokenized_signal": jnp.asarray(ids),
+        "attn_mask": jnp.ones((b, s), jnp.int32),
+        "quantized_signal_ids_input": jnp.asarray(ids),
+        "position_ids": jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s)),
+    }
+
+    def loss_fn(tr, batch, key):
+        return F.fusion_lm_loss(
+            params, config, tr["fusion"], "resnet_model", batch, sig_id,
+            lora=tr["lora"], dropout_rng=key,
+            encoders={"resnet": (rp, rs, meta)},
+        )
+
+    @jax.jit
+    def step(tr, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(tr, batch, key)
+        updates, opt_state = opt.update(grads, opt_state, tr)
+        return optax.apply_updates(tr, updates), opt_state, loss
+
+    key = jax.random.key(0, impl="rbg")
+    trainable, opt_state, loss = step(trainable, opt_state, batch, key)
+    float(loss)
+
+    def total(n):
+        nonlocal trainable, opt_state
+        loss = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            trainable, opt_state, loss = step(trainable, opt_state, batch, key)
+        float(loss)
+        return time.perf_counter() - t0
+
+    total(2)
+    dt = min((total(8) - total(2)) / 6 for _ in range(2))
+    tokens_per_s = b * (s + 1) / dt
+
+    c = config
+    per_layer = (
+        c.hidden_size * c.qkv_dim
+        + 2 * c.hidden_size * c.kv_dim
+        + c.qkv_dim * c.hidden_size
+        + 3 * c.hidden_size * c.intermediate_size
+    )
+    n_mm = c.num_layers * per_layer + c.hidden_size * c.vocab_size
+    _, peak = _device_peaks()
+    mfu = tokens_per_s * 4 * n_mm / peak
+    out = {
+        "metric": "finetune_fusion_throughput",
+        "value": round(tokens_per_s, 1),
+        "unit": f"tokens/s (resnet encoder + flagship LoRA, batch {b} x {s + 1})",
+        "ms_per_step": round(dt * 1e3, 1),
+        "vs_baseline": round(mfu, 3),
+    }
+    try:
+        out["vs_attainable"] = round(
+            tokens_per_s * 4 * n_mm / measure_mxu_flops(), 3
+        )
+    except Exception as e:
+        print(f"mxu probe skipped: {e}", file=sys.stderr)
+    return out
+
+
+def bench_tokenizer_train():
+    """Merge-learning wall-clock at the canonical 3,500 merges: the csrc
+    incremental trainer (doubly-linked token list + incrementally maintained
+    pair counts, O(corpus + merge sites)) vs the reference ALGORITHM (full
+    corpus rescan per merge, rust_bpe/src/lib.rs:85-117) compiled in the
+    same C++ translation unit with the same deterministic tie-break — the
+    language and compiler cancel, so the ratio is the algorithm's.
+
+    The canonical corpus (scripts/train_tok.sh:4-9) is 200k sampled ECGs
+    (~6.0e9 symbols at 12 leads x 2500 samples) — the rescan algorithm
+    needs days for that single-threaded (the reference's rayon get_stats
+    is a <= num_threads=6 constant factor on the same O(merges * corpus)
+    asymptotics), so the head-to-head runs at a common small size, rescan
+    linearity in corpus length is verified with a second size, and both
+    are extrapolated linearly to 200k ECGs (both algorithms are linear in
+    corpus at fixed merges; extrapolation noted in the row).  Outputs of
+    the two trainers are asserted identical (the algorithm-identity oracle
+    also runs in tests/test_bpe.py).
+    """
+    from ecg_byte_tpu.ops.quantize import normalize_quantize, quantized_to_string
+    from ecg_byte_tpu.tokenizer import native
+
+    n_merges = 3500
+    symbols_per_ecg = 12 * 2500  # canonical post-resample shape
+
+    def corpus_of(n_ecgs, rng):
+        # quantized synthetic ECG text at the canonical per-record length;
+        # built in chunks so the float intermediates stay bounded
+        parts = []
+        remaining = n_ecgs
+        while remaining:
+            take = min(remaining, 512)
+            recs = make_synthetic_records(take, rng, length=2500)
+            p1, p99 = np.percentile(recs, 1), np.percentile(recs, 99)
+            _, q = normalize_quantize(recs, p1, p99)
+            parts.append(
+                "".join(quantized_to_string(np.asarray(qi)) for qi in q)
+            )
+            remaining -= take
+        return "".join(parts).encode()
+
+    rng = np.random.default_rng(7)
+    head_to_head_ecgs = 50
+    ours_large_ecgs = 4000
+    canonical_ecgs = 200_000
+
+    small = corpus_of(head_to_head_ecgs, rng)
+    smaller = small[: len(small) // 2]
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        out = fn()
+        return time.perf_counter() - t0, out
+
+    t_rescan, (_, merges_r) = timed(
+        lambda: native.train(small, n_merges, algorithm="rescan")
+    )
+    t_ours_small, (_, merges_i) = timed(lambda: native.train(small, n_merges))
+    assert [tuple(m) for m in merges_r] == [tuple(m) for m in merges_i], (
+        "rescan and incremental trainers diverged"
+    )
+    # rescan linearity check: half the corpus, same merges -> ~half the time
+    t_rescan_half, _ = timed(
+        lambda: native.train(smaller, n_merges, algorithm="rescan")
+    )
+    large = corpus_of(ours_large_ecgs, rng)
+    t_ours_large, _ = timed(lambda: native.train(large, n_merges))
+
+    rescan_200k_s = t_rescan * (canonical_ecgs / head_to_head_ecgs)
+    ours_200k_s = t_ours_large * (canonical_ecgs / ours_large_ecgs)
+    return {
+        "metric": "tokenizer_train",
+        "value": round(t_ours_large, 2),
+        "unit": f"s for 3500 merges over {ours_large_ecgs} ECGs "
+                f"({len(large) / 1e6:.0f} MB corpus)",
+        # measured head-to-head algorithm ratio at the common size
+        "vs_baseline": round(t_rescan / t_ours_small, 1),
+        "head_to_head_ecgs": head_to_head_ecgs,
+        "rescan_s": round(t_rescan, 2),
+        "ours_s_same_corpus": round(t_ours_small, 3),
+        "rescan_linearity": round(t_rescan / max(t_rescan_half, 1e-9), 2),
+        "symbols_per_ecg": symbols_per_ecg,
+        # linear extrapolations to the canonical 200k-ECG corpus
+        "rescan_200k_extrapolated_h": round(rescan_200k_s / 3600, 1),
+        "ours_200k_extrapolated_s": round(ours_200k_s, 1),
+        "speedup_200k_extrapolated": round(rescan_200k_s / ours_200k_s, 0),
+        "note": ("single-threaded head-to-head; the reference's rayon "
+                 "get_stats is a <=6x constant factor (train_tok.sh uses "
+                 "6 threads) on the same O(merges*corpus) scaling"),
+    }
+
+
 def measure_mxu_flops():
     """Achieved bf16 MXU FLOP/s on a large square matmul, same process.
 
@@ -699,6 +1008,24 @@ def main():
             del params
         except Exception as e:  # keep the headline metric alive on small hosts
             print(f"flagship decode/train bench skipped: {e}", file=sys.stderr)
+
+    if wanted("twostage"):
+        try:
+            print(json.dumps(bench_pretrain()))
+        except Exception as e:
+            print(f"pretrain bench skipped: {e}", file=sys.stderr)
+        try:
+            config2, params2 = _flagship()
+            print(json.dumps(bench_finetune_fusion(config2, params2)))
+            del params2
+        except Exception as e:
+            print(f"fusion bench skipped: {e}", file=sys.stderr)
+
+    if wanted("tokenizer"):
+        try:
+            print(json.dumps(bench_tokenizer_train()))
+        except Exception as e:
+            print(f"tokenizer train bench skipped: {e}", file=sys.stderr)
 
     if not wanted("preprocess"):
         return

@@ -177,6 +177,88 @@ TrainResult bpe_train(const uint8_t* corpus, int64_t n, int32_t num_merges,
   return out;
 }
 
+// Reference-algorithm trainer: full corpus rescan per merge, mirroring
+// rust_bpe/src/lib.rs:85-117 (get_stats over the whole ids vector, argmax,
+// in-place merge pass).  Single-threaded — the reference parallelizes
+// get_stats with rayon (lib.rs:28-48), a <= num_threads constant factor on
+// the SAME O(merges * corpus) asymptotics.  Kept for the head-to-head
+// merge-learning benchmark (bench.py::bench_tokenizer_train) and as an
+// algorithm-identity oracle: with the identical deterministic tie-break
+// (highest count, then smallest packed pair) it must produce exactly the
+// merges bpe_train produces (tests/test_bpe.py).
+TrainResult bpe_train_rescan(const uint8_t* corpus, int64_t n,
+                             int32_t num_merges, int32_t verbose) {
+  TrainResult out;
+  if (n <= 0) return out;
+
+  std::vector<uint32_t> ids(corpus, corpus + n);
+  std::vector<uint32_t> next;
+  next.reserve(n);
+
+  std::vector<std::vector<uint32_t>> expansions;
+  expansions.reserve(num_merges);
+  auto expand = [&](uint32_t id, std::vector<uint32_t>& dst) {
+    if (id < 256) {
+      dst.push_back(id);
+    } else {
+      const auto& seq = expansions[id - 256];
+      dst.insert(dst.end(), seq.begin(), seq.end());
+    }
+  };
+
+  std::unordered_map<uint64_t, int64_t> counts;
+  counts.reserve(1 << 16);
+  for (int32_t m = 0; m < num_merges; ++m) {
+    // get_stats: full rescan (lib.rs:28-48, called at lib.rs:86).
+    counts.clear();
+    for (size_t i = 0; i + 1 < ids.size(); ++i) {
+      ++counts[pack_pair(ids[i], ids[i + 1])];
+    }
+    uint64_t best_key = 0;
+    int64_t best_count = 0;
+    for (const auto& kv : counts) {
+      if (kv.second > best_count ||
+          (kv.second == best_count && best_count > 0 && kv.first < best_key)) {
+        best_key = kv.first;
+        best_count = kv.second;
+      }
+    }
+    if (best_count <= 0) break;
+    const uint32_t a = static_cast<uint32_t>(best_key >> 32);
+    const uint32_t b = static_cast<uint32_t>(best_key & 0xFFFFFFFFu);
+    const uint32_t new_id = 256 + static_cast<uint32_t>(m);
+
+    // merge: left-to-right non-overlapping replace (lib.rs:11-26).
+    next.clear();
+    for (size_t i = 0; i < ids.size();) {
+      if (i + 1 < ids.size() && ids[i] == a && ids[i + 1] == b) {
+        next.push_back(new_id);
+        i += 2;
+      } else {
+        next.push_back(ids[i]);
+        i += 1;
+      }
+    }
+    ids.swap(next);
+
+    std::vector<uint32_t> seq;
+    expand(a, seq);
+    expand(b, seq);
+    expansions.push_back(std::move(seq));
+    out.merge_seqs.push_back(expansions.back());
+    out.merge_ids.push_back(new_id);
+
+    if (verbose && ((m + 1) % 100 == 0 || m + 1 == num_merges)) {
+      std::fprintf(stderr,
+                   "[ecgbpe-rescan] merge %d/%d pair=(%u,%u) count=%lld\n",
+                   m + 1, num_merges, a, b,
+                   static_cast<long long>(best_count));
+    }
+  }
+  out.ids = std::move(ids);
+  return out;
+}
+
 // ---------------------------------------------------------------------------
 // Greedy longest-match trie encoder (reference lib.rs:127-193 semantics).
 
@@ -225,6 +307,14 @@ void* ecgbpe_train(const uint8_t* corpus, int64_t n, int32_t num_merges,
                    int32_t verbose) {
   auto* h = new EcgBpeTrainHandle();
   h->result = bpe_train(corpus, n, num_merges, verbose);
+  return h;
+}
+
+// Reference-algorithm (rescan-per-merge) trainer; same handle ABI.
+void* ecgbpe_train_rescan(const uint8_t* corpus, int64_t n,
+                          int32_t num_merges, int32_t verbose) {
+  auto* h = new EcgBpeTrainHandle();
+  h->result = bpe_train_rescan(corpus, n, num_merges, verbose);
   return h;
 }
 

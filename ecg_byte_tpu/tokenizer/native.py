@@ -53,6 +53,8 @@ def load_library() -> ctypes.CDLL:
             ctypes.c_int32,
             ctypes.c_int32,
         ]
+        lib.ecgbpe_train_rescan.restype = ctypes.c_void_p
+        lib.ecgbpe_train_rescan.argtypes = lib.ecgbpe_train.argtypes
         lib.ecgbpe_train_num_merges.restype = ctypes.c_int32
         lib.ecgbpe_train_num_merges.argtypes = [ctypes.c_void_p]
         lib.ecgbpe_train_ids_len.restype = ctypes.c_int64
@@ -103,15 +105,24 @@ def native_available() -> bool:
 
 
 def train(
-    corpus: bytes, num_merges: int, verbose: bool = False
+    corpus: bytes, num_merges: int, verbose: bool = False,
+    algorithm: str = "incremental",
 ) -> Tuple[np.ndarray, List[Tuple[List[int], int]]]:
     """Run native BPE merge learning.
 
     Returns ``(ids, merges)``: the merged corpus token ids and the
     reference-format merge list ``[(base_byte_seq, new_id), ...]``.
+
+    ``algorithm="rescan"`` selects the reference algorithm (full corpus
+    rescan per merge, rust_bpe/src/lib.rs:85-117) compiled in the same
+    translation unit — used by the merge-learning benchmark and the
+    algorithm-identity oracle test; both algorithms share the deterministic
+    tie-break, so their outputs must be identical.
     """
     lib = load_library()
-    handle = lib.ecgbpe_train(corpus, len(corpus), num_merges, int(verbose))
+    entry = (lib.ecgbpe_train_rescan if algorithm == "rescan"
+             else lib.ecgbpe_train)
+    handle = entry(corpus, len(corpus), num_merges, int(verbose))
     try:
         n_merges = lib.ecgbpe_train_num_merges(handle)
         ids = np.empty(lib.ecgbpe_train_ids_len(handle), dtype=np.uint32)

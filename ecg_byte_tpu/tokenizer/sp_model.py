@@ -15,10 +15,13 @@ implements both segmentation algorithms sentencepiece ships:
     (sentencepiece's kUnkPenalty);
   - **BPE** (model_type=2): iterative best-scored adjacent pair merge.
 
-Normalization approximates ``nmt_nfkc`` with NFKC + whitespace collapse —
-exact for the ASCII/Latin medical-report text this pipeline feeds.  A
-``write_spm`` helper emits valid minimal models so tests can build
-fixtures without the sentencepiece library.
+Normalization: when the model ships a ``precompiled_charsmap`` (the
+darts-trie rewrite table real ``nmt_nfkc`` models carry), it is decoded
+and applied verbatim (:class:`DartsCharsMap`) — exact by construction;
+models without one fall back to NFKC + whitespace collapse, exact for the
+ASCII/Latin medical-report text this pipeline feeds.  A ``write_spm``
+helper emits valid minimal models (optionally with a real charsmap blob)
+so tests can build fixtures without the sentencepiece library.
 """
 
 from __future__ import annotations
@@ -88,8 +91,13 @@ def _field(no: int, wt: int, payload: bytes) -> bytes:
 
 
 def write_spm(path: str, pieces: Sequence[Tuple[str, float]],
-              model_type: int = 1, unk_piece: str = "<unk>") -> None:
-    """Write a minimal valid ModelProto (test fixtures / exports)."""
+              model_type: int = 1, unk_piece: str = "<unk>",
+              charsmap_rules: Optional[Dict[str, str]] = None) -> None:
+    """Write a minimal valid ModelProto (test fixtures / exports).
+
+    ``charsmap_rules`` (str -> str rewrite rules) are encoded as a real
+    precompiled_charsmap blob (darts double-array trie), exercising the
+    exact normalizer path the way shipped ``.spm`` files do."""
     body = bytearray()
     for piece, score in pieces:
         typ = _UNKNOWN if piece == unk_piece else _NORMAL
@@ -102,9 +110,153 @@ def write_spm(path: str, pieces: Sequence[Tuple[str, float]],
     trainer = _field(3, 0, _varint(model_type))
     body += _field(2, 2, _varint(len(trainer)) + trainer)
     norm = _field(3, 0, _varint(1))  # add_dummy_prefix = true
+    if charsmap_rules:
+        blob = DartsCharsMap.build(charsmap_rules)
+        norm += _field(2, 2, _varint(len(blob)) + blob)
     body += _field(3, 2, _varint(len(norm)) + norm)
     with open(path, "wb") as f:
         f.write(bytes(body))
+
+
+class DartsCharsMap:
+    """The NormalizerSpec ``precompiled_charsmap`` blob, decoded.
+
+    Real ``.spm`` files carry their normalization rules (e.g. ``nmt_nfkc``)
+    as a precompiled longest-match rewrite table: a darts-clone double-array
+    trie over UTF-8 keys plus a '\\0'-separated replacement-string blob
+    (sentencepiece normalizer.cc::DecodePrecompiledCharsMap /
+    NormalizePrefix).  Blob layout: ``uint32le trie_size | trie units
+    (uint32le each) | normalized strings``.  Unit encoding is the public
+    darts-clone ``DoubleArrayUnit``: label = bits 0-7 (bit 31 set marks a
+    value unit, so value units never match a byte), has_leaf = bit 8,
+    offset = bits 10-30 left-shifted by 8 when bit 9 is set; child slot of
+    node at ``pos`` with offset ``o`` and byte ``c`` is ``pos ^ o ^ c`` and
+    a terminal's value unit sits at ``pos ^ o``.
+
+    Applying this table IS sentencepiece's normalization — when a model
+    carries one we use it verbatim instead of the NFKC approximation.
+    """
+
+    def __init__(self, blob: bytes):
+        if len(blob) < 4:
+            raise ValueError("precompiled_charsmap too short")
+        (trie_bytes,) = struct.unpack("<I", blob[:4])
+        if 4 + trie_bytes > len(blob) or trie_bytes % 4:
+            raise ValueError("precompiled_charsmap trie size out of range")
+        self.units = np.frombuffer(blob, np.uint32, trie_bytes // 4, 4)
+        self.normalized = blob[4 + trie_bytes:]
+
+    @staticmethod
+    def _offset(unit: int) -> int:
+        return (unit >> 10) << ((unit & 0x200) >> 6)
+
+    def longest_match(self, data: bytes, start: int) -> Tuple[int, bytes]:
+        """Longest rewrite rule matching ``data[start:]``.
+
+        Returns ``(consumed_bytes, replacement)``; ``(0, b"")`` when no
+        rule matches (caller copies one character through unchanged)."""
+        units = self.units
+        if not len(units):
+            return 0, b""
+        node_pos = self._offset(int(units[0]))
+        best_len, best_val = 0, -1
+        for i in range(start, len(data)):
+            c = data[i]
+            pos = node_pos ^ c
+            if pos >= len(units):
+                break
+            unit = int(units[pos])
+            if (unit & 0x800000FF) != c:
+                break
+            node_pos = pos ^ self._offset(unit)
+            if (unit >> 8) & 1:  # has_leaf
+                best_len = i - start + 1
+                best_val = int(units[node_pos]) & 0x7FFFFFFF
+        if best_len == 0:
+            return 0, b""
+        end = self.normalized.index(b"\0", best_val)
+        return best_len, self.normalized[best_val:end]
+
+    def normalize(self, text: str) -> str:
+        data = text.encode("utf-8")
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            n, rep = self.longest_match(data, i)
+            if n:
+                out += rep
+                i += n
+            else:  # copy one full UTF-8 character through
+                step = 1
+                while i + step < len(data) and (data[i + step] & 0xC0) == 0x80:
+                    step += 1
+                out += data[i : i + step]
+                i += step
+        return out.decode("utf-8")
+
+    @staticmethod
+    def build(rules: Dict[str, str]) -> bytes:
+        """Encode rewrite rules as a precompiled_charsmap blob (tests /
+        fixture generation; same unit encoding the decoder consumes)."""
+        normalized = bytearray()
+        values: Dict[str, int] = {}
+        for rep in rules.values():
+            if rep not in values:
+                values[rep] = len(normalized)
+                normalized += rep.encode("utf-8") + b"\0"
+
+        trie: Dict = {"children": {}, "value": None}
+        for key, rep in sorted(rules.items()):
+            kb = key.encode("utf-8")
+            if not kb or 0 in kb:
+                raise ValueError(f"unsupported charsmap key {key!r}")
+            node = trie
+            for c in kb:
+                node = node["children"].setdefault(
+                    c, {"children": {}, "value": None}
+                )
+            node["value"] = values[rep]
+
+        units: Dict[int, int] = {}
+        used = {0}
+
+        def encode_offset(off: int) -> int:
+            if off < (1 << 21):
+                return off << 10
+            if off % 256 == 0 and off < (1 << 29):
+                return ((off >> 8) << 10) | 0x200
+            raise ValueError("offset not encodable")
+
+        def place(node, pos: int) -> None:
+            labels = sorted(node["children"])
+            want = ([0] if node["value"] is not None else []) + labels
+            off = 1
+            while True:
+                if off % 256 and off >= (1 << 21):
+                    off = ((off >> 8) + 1) << 8
+                if all((pos ^ off ^ c) not in used for c in want):
+                    encode_offset(off)
+                    break
+                off += 1
+            for c in want:
+                used.add(pos ^ off ^ c)
+            units[pos] = units.get(pos, 0) | encode_offset(off) | (
+                0x100 if node["value"] is not None else 0
+            )
+            if node["value"] is not None:
+                units[pos ^ off] = 0x80000000 | node["value"]
+            for c in labels:
+                units[pos ^ off ^ c] = c
+            for c in labels:
+                place(node["children"][c], pos ^ off ^ c)
+
+        place(trie, 0)
+        n_units = max(units) + 1
+        arr = np.zeros(n_units, np.uint32)
+        for pos, unit in units.items():
+            arr[pos] = unit
+        trie_blob = arr.tobytes()
+        return struct.pack("<I", len(trie_blob)) + trie_blob + bytes(normalized)
 
 
 class SentencePieceModel:
@@ -119,6 +271,8 @@ class SentencePieceModel:
         self.model_type = 1
         self.add_dummy_prefix = True
         self.remove_extra_whitespaces = True
+        self.normalizer_name = ""
+        self.charsmap: Optional[DartsCharsMap] = None
         for field, _wt, val in _scan_fields(buf):
             if field == 1:  # SentencePiece
                 piece, score, typ = "", 0.0, _NORMAL
@@ -138,7 +292,11 @@ class SentencePieceModel:
                         self.model_type = v2
             elif field == 3:  # NormalizerSpec
                 for f2, _w2, v2 in _scan_fields(val):
-                    if f2 == 3:
+                    if f2 == 1:
+                        self.normalizer_name = v2.decode("utf-8")
+                    elif f2 == 2 and v2:  # precompiled_charsmap
+                        self.charsmap = DartsCharsMap(v2)
+                    elif f2 == 3:
                         self.add_dummy_prefix = bool(v2)
                     elif f2 == 4:
                         self.remove_extra_whitespaces = bool(v2)
@@ -158,10 +316,17 @@ class SentencePieceModel:
                 "(only unigram=1 / bpe=2)"
             )
 
-    # -- normalization (nmt_nfkc approximation) ------------------------------
+    # -- normalization --------------------------------------------------------
+    # Exact when the model ships a precompiled_charsmap (the rules blob IS
+    # the normalizer, e.g. nmt_nfkc); NFKC approximation otherwise —
+    # fixtures written by write_spm carry no charsmap, and NFKC matches
+    # nmt_nfkc on the ASCII/Latin medical-report text this pipeline feeds.
 
     def normalize(self, text: str) -> str:
-        text = unicodedata.normalize("NFKC", text)
+        if self.charsmap is not None:
+            text = self.charsmap.normalize(text)
+        else:
+            text = unicodedata.normalize("NFKC", text)
         if self.remove_extra_whitespaces:
             text = " ".join(text.split())
         text = text.replace(" ", SPACE)

@@ -129,3 +129,23 @@ def test_tokenizer_object(tmp_path, corpus):
     tok.save(p)
     tok2 = BpeTokenizer.load(p)
     assert tok2.encode("abcabc") == ids
+
+
+def test_rescan_algorithm_identical_to_incremental(corpus):
+    """The reference-algorithm trainer (full rescan per merge,
+    rust_bpe/src/lib.rs:85-117, compiled in csrc for the merge-learning
+    benchmark) must produce exactly the merges and corpus encoding the
+    incremental trainer produces — both share the deterministic tie-break,
+    so any divergence is a bug in one of them."""
+    ids_i, merges_i = native.train(corpus, 80)
+    ids_r, merges_r = native.train(corpus, 80, algorithm="rescan")
+    assert [tuple(m) for m in merges_i] == [tuple(m) for m in merges_r]
+    assert ids_i.tolist() == ids_r.tolist()
+
+
+def test_rescan_algorithm_identical_on_degenerate_corpora():
+    for corpus in (b"", b"a", b"aaaa" * 50, b"abab" * 40, bytes(range(256))):
+        ids_i, merges_i = native.train(corpus, 20)
+        ids_r, merges_r = native.train(corpus, 20, algorithm="rescan")
+        assert [tuple(m) for m in merges_i] == [tuple(m) for m in merges_r]
+        assert ids_i.tolist() == ids_r.tolist()
