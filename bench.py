@@ -370,7 +370,7 @@ def measure_stream_bandwidth():
     return (hi_sweeps - lo_sweeps) * sweep_bytes / (t_hi - t_lo)
 
 
-def bench_decode(config, params):
+def bench_decode(config, params, metric="decode_throughput", s=1024):
     """Greedy decode tok/s; vs_baseline = fraction of the NOMINAL HBM
     roofline (BASELINE.md target >= 0.90), vs_attainable = fraction of the
     measured-attainable streaming roofline (the in-process bandwidth probe
@@ -379,7 +379,7 @@ def bench_decode(config, params):
 
     from ecg_byte_tpu.infer.decode import greedy_generate
 
-    b, s, n_new = 1, 1024, 128
+    b, n_new = 1, 128
     rng = np.random.default_rng(0)
     ids = np.asarray(rng.integers(0, 1000, (b, s)), np.int32)
     mask = np.ones((b, s), np.int32)
@@ -414,7 +414,7 @@ def bench_decode(config, params):
     bytes_per_tok = param_bytes + kv_bytes
     roofline = hbm_bw / bytes_per_tok
     out = {
-        "metric": "decode_throughput",
+        "metric": metric,
         "value": round(1.0 / per_tok, 1),
         "unit": "tok/s",
         "vs_baseline": round(1.0 / per_tok / roofline, 3),
@@ -1008,6 +1008,26 @@ def main():
             del params
         except Exception as e:  # keep the headline metric alive on small hosts
             print(f"flagship decode/train bench skipped: {e}", file=sys.stderr)
+
+    if wanted("gpt2"):
+        # non-llama flagship: GPT-2-XL (1.5B — learned positions, biases,
+        # LayerNorm, gelu) decode row, so the perf story is validated on a
+        # structurally different family (VERDICT r4 item 10).  Prompt 512:
+        # gpt2's learned position table caps S_max at 1024.
+        try:
+            import jax
+
+            from ecg_byte_tpu.models import gpt2_xl
+            from ecg_byte_tpu.models import transformer as T
+
+            cfg_g = gpt2_xl()
+            params_g = T.init_params(cfg_g, jax.random.PRNGKey(0))
+            print(json.dumps(bench_decode(
+                cfg_g, params_g, metric="decode_throughput_gpt2xl", s=512
+            )))
+            del params_g
+        except Exception as e:
+            print(f"gpt2-xl decode bench skipped: {e}", file=sys.stderr)
 
     if wanted("twostage"):
         try:

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Optional, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -202,8 +204,37 @@ def fold_norm_scales(params: Params, config: TransformerConfig):
     return out, config.replace(norm_folded=True)
 
 
+def _pallas_norm_wanted(x) -> bool:
+    """Opt-in gate for the fused RMSNorm kernel (ops/rmsnorm.py).
+
+    Training shapes only (>= 256 rows — decode's (B, 1, D) norms are
+    glue, not bandwidth); TPU platform; ECG_BYTE_PALLAS_NORM=1.  Off by
+    default: measured on v5e (TRAINPERF round 5) the fused kernel did not
+    beat XLA's norm fusions inside the full train step — see the
+    kernel module docstring for the numbers; the env flag keeps the A/B
+    reproducible."""
+    if os.environ.get("ECG_BYTE_PALLAS_NORM") != "1":
+        return False
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    if rows < 256 or x.shape[-1] % 128:
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
 def _norm(x, weight, bias, config: TransformerConfig):
     eps = config.norm_eps
+    if config.arch != "gpt2" and _pallas_norm_wanted(x):
+        from ecg_byte_tpu.ops import rmsnorm as _rn
+
+        w = weight.astype(jnp.float32)
+        if config.rmsnorm_unit_offset:
+            w = 1.0 + w
+        return _slim(_rn.rmsnorm(x, w, eps))
     xf = x.astype(jnp.float32)
     if config.arch == "gpt2":  # LayerNorm
         mu = jnp.mean(xf, -1, keepdims=True)
