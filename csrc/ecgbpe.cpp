@@ -28,7 +28,9 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <queue>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -86,17 +88,46 @@ TrainResult bpe_train(const uint8_t* corpus, int64_t n, int32_t num_merges,
     }
   };
 
+  // Lazy max-heap over (count, key) for merge selection: a full scan of
+  // the counts map per merge is O(merges * distinct_pairs) — measured
+  // 60% of training time at small corpora (50 ECGs: 23.0 s scan-argmax
+  // vs 8.7 s heap, bench.py::bench_tokenizer_train round 5).  Entries are
+  // pushed whenever a pair's count INCREASES (so some entry >= the true
+  // count always exists); decrements leave stale entries that selection
+  // pops and refreshes.  Order: highest count, ties -> smallest packed
+  // (a, b) — same total order as the scan and the rescan trainer.
+  struct Ent {
+    int64_t count;
+    uint64_t key;
+  };
+  struct Cmp {
+    bool operator()(const Ent& x, const Ent& y) const {
+      if (x.count != y.count) return x.count < y.count;
+      return x.key > y.key;
+    }
+  };
+  std::priority_queue<Ent, std::vector<Ent>, Cmp> heap;
+  for (const auto& kv : counts) heap.push({kv.second, kv.first});
+  std::unordered_set<uint64_t> touched;  // pairs born/incremented per merge
+  touched.reserve(1 << 10);
+
   std::vector<int32_t> occ;  // scratch: occurrence list of the best pair
   for (int32_t m = 0; m < num_merges; ++m) {
-    // Select best pair: max count, ties -> smallest packed (a, b).
+    // Select best pair: pop stale entries, refresh to current counts.
     uint64_t best_key = 0;
     int64_t best_count = 0;
-    for (const auto& kv : counts) {
-      if (kv.second > best_count ||
-          (kv.second == best_count && best_count > 0 && kv.first < best_key)) {
-        best_key = kv.first;
-        best_count = kv.second;
+    while (!heap.empty()) {
+      Ent top = heap.top();
+      auto it = counts.find(top.key);
+      const int64_t cur = (it == counts.end()) ? 0 : it->second;
+      if (cur == top.count && cur > 0) {
+        best_key = top.key;
+        best_count = cur;
+        heap.pop();
+        break;
       }
+      heap.pop();
+      if (cur > 0) heap.push({cur, top.key});
     }
     if (best_count <= 0) break;
 
@@ -141,16 +172,25 @@ TrainResult bpe_train(const uint8_t* corpus, int64_t n, int32_t num_merges,
         uint64_t k = pack_pair(sym[left], new_id);
         ++counts[k];
         positions[k].push_back(left);
+        touched.insert(k);
       }
       if (right >= 0) {
         uint64_t k = pack_pair(new_id, sym[right]);
         ++counts[k];
         positions[k].push_back(p);
+        touched.insert(k);
       }
     }
     // The merged pair can never re-form (both members are pre-existing ids
     // and merges only create adjacencies involving new ids).
     counts.erase(best_key);
+    // Publish final counts of the pairs this merge incremented, so the
+    // heap always holds an entry >= every pair's true count.
+    for (uint64_t k : touched) {
+      auto it = counts.find(k);
+      if (it != counts.end() && it->second > 0) heap.push({it->second, k});
+    }
+    touched.clear();
 
     std::vector<uint32_t> seq;
     expand(a, seq);

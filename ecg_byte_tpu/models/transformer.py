@@ -1085,6 +1085,46 @@ def prefill(
     return logits, new_cache, next_pos
 
 
+def _fused_decode_attn_wanted(config: TransformerConfig, cache) -> bool:
+    """Dispatch gate for the fused decode-attention kernel
+    (ops/attention_decode.py): TPU platform, bf16 cache, lane-aligned cache
+    shapes, ``ECG_BYTE_FUSED_DECODE_ATTN`` not set to "0".
+
+    bf16-cache only by default: measured end-to-end on v5e (flagship
+    Llama-3.2-1B decode, bench.py, 2026-08-19 same-session A/B) the fused
+    kernel WINS for the bf16 cache — 286.6 vs 281.0 tok/s, fixed
+    per-token cost 0.211 -> 0.155 ms — but LOSES for the int8 cache
+    (504.6 vs 527.3 tok/s): the (S, H) f32 scale multiplies + in-kernel
+    int8 conversion cost more than the ~70 kernel launches they replace
+    (isolated 16-layer chain: 0.790 fused vs 0.691 ms XLA,
+    scripts/hw_parity.py).  The int8 path keeps XLA; ``=force`` overrides.
+
+    Single-device only by default: the sharded decode path
+    (tensor-parallel params via GSPMD, __graft_entry__._dryrun_sharded_decode)
+    goes through plain jit where an opaque pallas_call has no partitioning
+    rule — GSPMD would replicate the full KV cache onto every chip.  Multi-
+    chip serving keeps the XLA path; set ``ECG_BYTE_FUSED_DECODE_ATTN=force``
+    to override (e.g. under an explicit shard_map)."""
+    flag = os.environ.get("ECG_BYTE_FUSED_DECODE_ATTN", "1")
+    if flag == "0":
+        return False
+    try:
+        from ecg_byte_tpu.ops.attention_decode import supported
+    except ImportError:
+        return False
+    if cache.get("k_scale") is not None and flag != "force":
+        return False  # int8 cache: XLA path measured faster (see above)
+    k = cache["k"]
+    if not supported(None, k.shape[1], k.shape[3]):
+        return False
+    try:
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            return False
+        return flag == "force" or jax.device_count() == 1
+    except RuntimeError:
+        return False
+
+
 def decode_step(
     params: Params,
     config: TransformerConfig,
@@ -1105,14 +1145,26 @@ def decode_step(
         else _rope_tables(pos2d, c, c.head_dim)
     )
 
+    use_fused = _fused_decode_attn_wanted(c, cache)
+
     def step(h, layer_p, lora_p, caches):
         def attn_fn(q, k, v):
             new_caches = _append_kv(caches, k, v, write_idx)
-            out = decode_attention(
-                q, new_caches["k"], new_caches["v"], cache_mask,
-                k_scale=new_caches.get("k_scale"),
-                v_scale=new_caches.get("v_scale"),
-            )
+            if use_fused:
+                from ecg_byte_tpu.ops.attention_decode import (
+                    decode_attention_fused,
+                )
+
+                out = decode_attention_fused(
+                    q, new_caches["k"], new_caches["v"], cache_mask,
+                    new_caches.get("k_scale"), new_caches.get("v_scale"),
+                )
+            else:
+                out = decode_attention(
+                    q, new_caches["k"], new_caches["v"], cache_mask,
+                    k_scale=new_caches.get("k_scale"),
+                    v_scale=new_caches.get("v_scale"),
+                )
             return out, new_caches
 
         return _block(c, h, layer_p, lora_p, rope, attn_fn)
