@@ -555,14 +555,19 @@ def bench_train(config, params):
     # software threefry path); identical distribution, different stream
     key = jax.random.key(1, impl="rbg")
 
-    # Remat-mode AUTOTUNE.  "slim" (save everything except the _slim-tagged
-    # elementwise tensors) and "dots" (save matmul outputs, recompute
-    # elementwise + softmax) have traded places ACROSS CHIP SESSIONS for
-    # identical binaries (measured same-session pairs: slim 224.7 vs dots
-    # 295.8 ms/step one session, slim 218.5 vs dots 206.2 another —
-    # TRAINPERF.md round 4b).  The honest number is whichever THIS session
-    # sustains, so measure both and keep the winner; either mode can also
-    # compile-OOM on tighter sessions, so a failure just drops a candidate.
+    # (remat, norm) AUTOTUNE.  "slim" (save everything except the
+    # _slim-tagged elementwise tensors) and "dots" (save matmul outputs,
+    # recompute elementwise + softmax) have traded places ACROSS CHIP
+    # SESSIONS for identical binaries (measured same-session pairs: slim
+    # 224.7 vs dots 295.8 ms/step one session, slim 218.5 vs dots 206.2
+    # another — TRAINPERF.md round 4b).  The fused Pallas RMSNorm
+    # (ops/rmsnorm.py) interacts with the remat choice: under slim it won
+    # 189.1->181.5 and 189.5->182.3 ms/step in two round-5 sessions, under
+    # dots it was neutral-to-worse (TRAINPERF.md round 5) — so the norm
+    # choice is a second autotune axis, not a static default.  The honest
+    # number is whichever combination THIS session sustains: measure all
+    # four, keep the winner; any candidate can also compile-OOM on tighter
+    # sessions, so a failure just drops it.
     def timed_step(remat, fresh_params):
         st = create_train_state(
             config, opt, jax.random.PRNGKey(0), peft=True,
@@ -589,19 +594,32 @@ def bench_train(config, params):
         return min((total(8) - total(2)) / 6 for _ in range(2))
 
     results = {}
-    for i, remat in enumerate(("slim", "dots")):
-        try:
-            # the step donates its state, whose base IS `params` — rebuild
-            # the (deterministic) init for every candidate after the first
-            fresh = params if i == 0 else _flagship()[1]
-            results[remat] = timed_step(remat, fresh)
-        except Exception as e:
-            print(f"remat={remat} skipped: {type(e).__name__}",
-                  file=sys.stderr)
+    prev_norm = os.environ.get("ECG_BYTE_PALLAS_NORM")
+    candidates = [(r, n) for n in ("xla", "pallas") for r in ("slim", "dots")]
+    try:
+        for i, (remat, norm) in enumerate(candidates):
+            # the norm gate reads the env var at TRACE time
+            # (transformer._pallas_norm_wanted), so toggling here selects
+            # the kernel for this candidate's compile
+            os.environ["ECG_BYTE_PALLAS_NORM"] = "1" if norm == "pallas" else "0"
+            try:
+                # the step donates its state, whose base IS `params` —
+                # rebuild the (deterministic) init for every candidate
+                # after the first
+                fresh = params if i == 0 else _flagship()[1]
+                results[(remat, norm)] = timed_step(remat, fresh)
+            except Exception as e:
+                print(f"remat={remat} norm={norm} skipped: {type(e).__name__}",
+                      file=sys.stderr)
+    finally:
+        if prev_norm is None:
+            os.environ.pop("ECG_BYTE_PALLAS_NORM", None)
+        else:
+            os.environ["ECG_BYTE_PALLAS_NORM"] = prev_norm
     if not results:
         raise RuntimeError("no remat mode compiled at the flagship shape")
-    remat_mode = min(results, key=results.get)
-    dt = results[remat_mode]
+    remat_mode, norm_mode = min(results, key=results.get)
+    dt = results[(remat_mode, norm_mode)]
     tokens_per_s = b * s / dt
 
     # Model flops per token for frozen-base LoRA training: forward 2*N_mm,
@@ -625,9 +643,11 @@ def bench_train(config, params):
         "unit": "tokens/s",
         "vs_baseline": round(mfu, 3),
         "remat_mode": remat_mode,
+        "norm_mode": norm_mode,
     }
-    for mode, mdt in results.items():
-        out[f"ms_per_step_{mode}"] = round(mdt * 1e3, 1)
+    for (rmode, nmode), mdt in results.items():
+        suffix = rmode if nmode == "xla" else f"{rmode}_pnorm"
+        out[f"ms_per_step_{suffix}"] = round(mdt * 1e3, 1)
     try:
         meas = measure_mxu_flops()
         out["attainable_bf16_tflops"] = round(meas / 1e12, 1)

@@ -209,9 +209,11 @@ def _pallas_norm_wanted(x) -> bool:
 
     Training shapes only (>= 256 rows — decode's (B, 1, D) norms are
     glue, not bandwidth); TPU platform; ECG_BYTE_PALLAS_NORM=1.  Off by
-    default: measured on v5e (TRAINPERF round 5) the fused kernel did not
-    beat XLA's norm fusions inside the full train step — see the
-    kernel module docstring for the numbers; the env flag keeps the A/B
+    default because the win is remat-policy-dependent (measured on v5e,
+    TRAINPERF round 5: ~7 ms/step better under "slim", neutral-to-worse
+    under "dots" — numbers in the kernel module docstring), so
+    bench_train autotunes (remat x norm) per session instead of hard
+    defaulting; the env flag opts interactive paths in and keeps the A/B
     reproducible."""
     if os.environ.get("ECG_BYTE_PALLAS_NORM") != "1":
         return False

@@ -332,6 +332,9 @@ def _match_kernel_bits(cur_ref, nxt_ref, filt_ref, pcol_ref, out_ref, *,
         # SAME rolled array sliced at lane offset `half` — a multiple of
         # 256/2 >= 128, so the slice is lane-tile aligned and Mosaic
         # keeps it canonical (unaligned offsets j would not be).
+        # Hardware-validated (not just interpret mode): 16x30000 rows
+        # token-exact vs the native trie encoder under real Mosaic
+        # lowering on TPU v5 lite, scripts/hw_parity.py, 2026-08-19.
         rp = pltpu.roll(planes, x - j, 1) if j else planes
         pieces_p.append(jax.lax.slice(rp, (0, 0), (5, half)))
         pieces_q.append(jax.lax.slice(rp, (0, half), (5, 2 * half)))

@@ -23,6 +23,20 @@ kernel — bitwise-identical to XLA's ``convert(f32)`` on the same values —
 and mean/rsqrt are the same lax ops, so forward parity with the XLA norm
 is exact at f32 resolution (tests assert allclose at 1e-6 on f32 inputs
 and bitwise-equal bf16 outputs where XLA produces them).
+
+Measured (v5e, flagship 4x1024 LoRA step, scripts/norm_ab.py, two
+independent round-5 sessions): under the "slim" remat policy the kernel
+wins consistently — 189.1 -> 181.5 and 189.5 -> 182.3 ms/step (~7 ms,
+half the 13.8 ms stubbed-norm cost; the rest is the norms XLA already
+fuses well plus the final-norm/unembed pair this kernel also covers).
+Under "dots" it is neutral-to-worse (181.5 -> 188.1, 187.9 -> 185.2 —
+the dots policy recomputes norms in the backward where the kernel's
+saved-input residuals add traffic).  Because the win is
+remat-policy-dependent, the kernel is NOT a static default: bench_train
+autotunes (remat x norm) per session and `ECG_BYTE_PALLAS_NORM=1` opts
+interactive paths in.  The backward's scoped-VMEM footprint caps its row
+block at 256 (36.5 MB demanded at bm=1024, d=2048 vs the 16 MB scoped
+limit — first A/B session compile-OOM, fixed by DEFAULT_BWD_BLOCK_ROWS).
 """
 
 from __future__ import annotations
@@ -34,7 +48,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_ROWS = 1024
+# Scoped-VMEM budget (16 MB on v5e) sets the block caps: the backward
+# holds ~5 f32 row-block temps (xf, gf, gw, dx, dot products), so
+# bm*d*4*5 must stay well under the limit — at d=2048, bm=1024 demanded
+# 36.5 MB and the flagship train step failed to compile (norm_ab round 5).
+DEFAULT_BLOCK_ROWS = 512
+DEFAULT_BWD_BLOCK_ROWS = 256
 
 
 def _fwd_kernel(x_ref, w_ref, o_ref, *, eps):
@@ -106,7 +125,7 @@ def _rmsnorm_bwd(eps, block_rows, interpret, res, g):
     x, w = res
     rows = _row_view(x)
     n, d = rows.shape
-    bm = _pick_block(n, block_rows)
+    bm = _pick_block(n, min(block_rows, DEFAULT_BWD_BLOCK_ROWS))
     dx, dw = pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps),
         grid=(n // bm,),
