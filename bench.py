@@ -715,38 +715,63 @@ def bench_pretrain():
         ),
     }
 
-    def loss_fn(p, bn_state, batch, key):
-        feats, new_bn = resnet1d.resnet_forward(
-            p["resnet"], bn_state, meta, batch["norm_signal"], train=True,
-        )
-        loss, _aux = enc.merl_pretrain_loss(
-            p["head"], feats, batch["text_emb"], dropout_rng=key,
-        )
-        return loss, new_bn
+    import jax.numpy as _jnp
 
-    @jax.jit
-    def step(p, bn_state, opt_state, batch, key):
-        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, bn_state, batch, key
-        )
-        updates, opt_state = opt.update(grads, opt_state, p)
-        return optax.apply_updates(p, updates), new_bn, opt_state, loss
+    def make_step(compute_dtype):
+        def loss_fn(p, bn_state, batch, key):
+            feats, new_bn = resnet1d.resnet_forward(
+                p["resnet"], bn_state, meta, batch["norm_signal"], train=True,
+                compute_dtype=compute_dtype,
+            )
+            loss, _aux = enc.merl_pretrain_loss(
+                p["head"], feats, batch["text_emb"], dropout_rng=key,
+            )
+            return loss, new_bn
 
+        @jax.jit
+        def step(p, bn_state, opt_state, batch, key):
+            (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, bn_state, batch, key
+            )
+            updates, opt_state = opt.update(grads, opt_state, p)
+            return optax.apply_updates(p, updates), new_bn, opt_state, loss
+
+        return step
+
+    # compute-dtype A/B, same per-session autotune discipline as
+    # bench_train: bf16 conv operands double the MXU rate (f32 internal
+    # accumulation; parity test tests/test_two_stage.py) but the win size
+    # is session/shape dependent, so measure both and keep the winner.
     key = jax.random.key(0, impl="rbg")
-    params, rs, opt_state, loss = step(params, rs, opt_state, batch, key)
-    float(loss)  # compile + warm, hard sync
-
-    def total(n):
-        nonlocal params, rs, opt_state
-        loss = None
-        t0 = time.perf_counter()
-        for _ in range(n):
+    results = {}
+    steps = {}
+    for name, cd in (("f32", None), ("bf16", _jnp.bfloat16)):
+        try:
+            step = make_step(cd)
+            steps[name] = step
             params, rs, opt_state, loss = step(params, rs, opt_state, batch, key)
-        float(loss)
-        return time.perf_counter() - t0
+            float(loss)  # compile + warm, hard sync
 
-    total(2)
-    dt = min((total(8) - total(2)) / 6 for _ in range(2))  # slope-differenced
+            def total(n):
+                nonlocal params, rs, opt_state
+                loss = None
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    params, rs, opt_state, loss = step(
+                        params, rs, opt_state, batch, key
+                    )
+                float(loss)
+                return time.perf_counter() - t0
+
+            total(2)
+            results[name] = min((total(8) - total(2)) / 6 for _ in range(2))
+        except Exception as e:
+            print(f"pretrain dtype={name} skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    if not results:
+        raise RuntimeError("no pretrain step compiled")
+    dtype_mode = min(results, key=results.get)
+    dt = results[dtype_mode]
     samples_per_s = b / dt
 
     out = {
@@ -754,9 +779,12 @@ def bench_pretrain():
         "value": round(samples_per_s, 1),
         "unit": f"samples/s (resnet101, batch {b} x {leads}x{siglen})",
         "ms_per_step": round(dt * 1e3, 1),
+        "compute_dtype": dtype_mode,
         "vs_baseline": 0,
     }
-    flops = _xla_flops_of(step, params, rs, opt_state, batch, key)
+    for name, mdt in results.items():
+        out[f"ms_per_step_{name}"] = round(mdt * 1e3, 1)
+    flops = _xla_flops_of(steps[dtype_mode], params, rs, opt_state, batch, key)
     if flops:
         _, peak = _device_peaks()
         out["vs_baseline"] = round(flops / dt / peak, 3)
@@ -786,7 +814,13 @@ def bench_finetune_fusion(config, params):
     from ecg_byte_tpu.models import lora as lora_lib
     from ecg_byte_tpu.models import resnet1d
 
-    b, s = 4, 1023  # +1 spliced signal embedding -> 1024 positions
+    # Training-mode adapt_sequence (labels present, add_idx=2) CONSUMES the
+    # slot after <signal>, so the spliced length equals the input length —
+    # and the real dataset packs to pad_to_max+4 = 1024 (data/datasets.py).
+    # 1024 = 8x128 keeps the resident attention kernel's s%128 gate and the
+    # MXU tile alignment; an off-by-one 1023 here measured +89 ms/step
+    # (resident kernel rejected, every matmul padding a ragged tile).
+    b, s = 4, 1024
     rp, rs, meta = resnet1d.init_resnet(jax.random.PRNGKey(0), "resnet101")
     fus = F.init_fusion(
         jax.random.PRNGKey(1), "resnet_model", config.hidden_size,
@@ -811,21 +845,26 @@ def bench_finetune_fusion(config, params):
         "position_ids": jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s)),
     }
 
-    def loss_fn(tr, batch, key):
+    # the frozen trees (2.47 GB LLM base + ResNet) must be jit ARGUMENTS:
+    # closed over, XLA embeds them as compile-time constants (a 2.6 GB
+    # lowering, minutes of extra compile, and a second device copy)
+    frozen = {"llm": params, "rp": rp, "rs": rs}
+
+    def loss_fn(tr, frozen, batch, key):
         return F.fusion_lm_loss(
-            params, config, tr["fusion"], "resnet_model", batch, sig_id,
-            lora=tr["lora"], dropout_rng=key,
-            encoders={"resnet": (rp, rs, meta)},
+            frozen["llm"], config, tr["fusion"], "resnet_model", batch,
+            sig_id, lora=tr["lora"], dropout_rng=key,
+            encoders={"resnet": (frozen["rp"], frozen["rs"], meta)},
         )
 
     @jax.jit
-    def step(tr, opt_state, batch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(tr, batch, key)
+    def step(tr, opt_state, frozen, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(tr, frozen, batch, key)
         updates, opt_state = opt.update(grads, opt_state, tr)
         return optax.apply_updates(tr, updates), opt_state, loss
 
     key = jax.random.key(0, impl="rbg")
-    trainable, opt_state, loss = step(trainable, opt_state, batch, key)
+    trainable, opt_state, loss = step(trainable, opt_state, frozen, batch, key)
     float(loss)
 
     def total(n):
@@ -833,13 +872,15 @@ def bench_finetune_fusion(config, params):
         loss = None
         t0 = time.perf_counter()
         for _ in range(n):
-            trainable, opt_state, loss = step(trainable, opt_state, batch, key)
+            trainable, opt_state, loss = step(
+                trainable, opt_state, frozen, batch, key
+            )
         float(loss)
         return time.perf_counter() - t0
 
     total(2)
     dt = min((total(8) - total(2)) / 6 for _ in range(2))
-    tokens_per_s = b * (s + 1) / dt
+    tokens_per_s = b * s / dt  # training-mode splice keeps length == s
 
     c = config
     per_layer = (
@@ -854,7 +895,7 @@ def bench_finetune_fusion(config, params):
     out = {
         "metric": "finetune_fusion_throughput",
         "value": round(tokens_per_s, 1),
-        "unit": f"tokens/s (resnet encoder + flagship LoRA, batch {b} x {s + 1})",
+        "unit": f"tokens/s (resnet encoder + flagship LoRA, batch {b} x {s})",
         "ms_per_step": round(dt * 1e3, 1),
         "vs_baseline": round(mfu, 3),
     }

@@ -195,21 +195,47 @@ def main():
         eps=args.eps, weight_decay=args.weight_decay,
     )
 
-    def loss_fn(trainable, batch, rng):
+    # The frozen trees (flagship LLM base + backbone encoders) must be jit
+    # ARGUMENTS, not closure captures: captured, XLA embeds them as
+    # compile-time constants — a 2.6 GB lowering at Llama-3.2-1B scale,
+    # minutes of extra compile time, and a second on-device copy.  The
+    # encoder tuples carry static leaves (configs / int metadata), so the
+    # array trees travel through jit and the statics are re-attached
+    # inside the trace.
+    enc_arrays = {}
+    enc_static = {}
+    for _name, _val in encoders.items():
+        if _name == "resnet":
+            enc_arrays[_name] = (_val[0], _val[1])  # params, bn state
+            enc_static[_name] = _val[2]  # meta (python ints)
+        else:
+            enc_arrays[_name] = _val[0]  # params
+            enc_static[_name] = _val[1]  # config dataclass
+    frozen = {"llm": llm_params, "enc": enc_arrays}
+
+    def _rebuild_encoders(enc_arrays):
+        return {
+            name: ((arrs[0], arrs[1], enc_static[name]) if name == "resnet"
+                   else (arrs, enc_static[name]))
+            for name, arrs in enc_arrays.items()
+        }
+
+    def loss_fn(trainable, frozen, batch, rng):
         return fus.fusion_lm_loss(
-            llm_params, llm_config, trainable["fusion"], args.model, batch,
-            sig_id, lora=trainable["lora"], dropout_rng=rng, encoders=encoders,
+            frozen["llm"], llm_config, trainable["fusion"], args.model, batch,
+            sig_id, lora=trainable["lora"], dropout_rng=rng,
+            encoders=_rebuild_encoders(frozen["enc"]),
         )
 
     @jax.jit
-    def train_step(trainable, opt_state, batch, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(trainable, batch, rng)
+    def train_step(trainable, opt_state, frozen, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(trainable, frozen, batch, rng)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         return optax.apply_updates(trainable, updates), opt_state, loss
 
     @jax.jit
-    def eval_step(trainable, batch):
-        return loss_fn(trainable, batch, None)
+    def eval_step(trainable, frozen, batch):
+        return loss_fn(trainable, frozen, batch, None)
 
     def to_device_batch(batch):
         out = {}
@@ -334,7 +360,7 @@ def main():
                     db = shard_batch(db, mesh)
                 step_rng, sub = jax.random.split(step_rng)
                 trainable, opt_state, loss = train_step(
-                    trainable, opt_state, db, sub
+                    trainable, opt_state, frozen, db, sub
                 )
                 total += float(loss)
                 n += 1
@@ -352,7 +378,7 @@ def main():
                 db = to_device_batch(batch)
                 if mesh is not None:
                     db = shard_batch(db, mesh)
-                total += float(eval_step(trainable, db))
+                total += float(eval_step(trainable, frozen, db))
                 n += 1
                 if args.dev and n >= 10:
                     break

@@ -185,9 +185,20 @@ def fusion_lm_loss(
     lora=None,
     dropout_rng=None,
     encoders: Dict[str, Any],
+    remat="dots",
+    scan_unroll=True,
+    chunked_loss: bool = False,
 ):
     """Stage-2 training loss: splice + causal LM on inputs_embeds
-    (models/llm.py:54-77 and friends)."""
+    (models/llm.py:54-77 and friends).
+
+    Uses the same loss machinery as the stage-1 train step: the LM runs
+    ``return_hidden=True`` and the cross entropy comes from
+    :func:`transformer.lm_loss_from_hidden` (fused bf16-backward dense CE
+    — identical loss value, no separate (B, S, V) f32 logits round-trip)
+    or :func:`transformer.chunked_lm_loss` when ``chunked_loss=True``
+    (vocab-tiled, for batches where even one logits tile is too big).
+    ``remat``/``scan_unroll`` follow :func:`train.make_train_step`."""
     from ecg_byte_tpu.models import transformer as T
 
     sig_embed = encoder_embedding(kind, fusion, batch, **encoders)
@@ -200,13 +211,20 @@ def fusion_lm_loss(
         batch["position_ids"],
         sig_id=sig_id,
     )
-    logits = T.forward(
+    hidden = T.forward(
         llm_params, llm_config, None,
         adapted["attn_mask"], adapted["position_ids"],
         inputs_embeds=adapted["combined_embeds"],
         lora=lora, dropout_rng=dropout_rng,
+        remat=remat, return_hidden=True, scan_unroll=scan_unroll,
     )
-    return T.causal_lm_loss(logits, adapted["labels"])
+    if chunked_loss:
+        return T.chunked_lm_loss(
+            llm_params, llm_config, hidden, adapted["labels"]
+        )
+    return T.lm_loss_from_hidden(
+        llm_params, llm_config, hidden, adapted["labels"]
+    )
 
 
 def fusion_generate(

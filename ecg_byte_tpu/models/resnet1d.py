@@ -13,6 +13,7 @@ the MXU.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
@@ -32,14 +33,27 @@ def _conv_init(rng, k, c_in, c_out):
     return jax.random.normal(rng, (c_out, c_in, k), jnp.float32) * std
 
 
-def conv1d(x, kernel, stride=1, padding=0):
-    return jax.lax.conv_general_dilated(
+def conv1d(x, kernel, stride=1, padding=0, compute_dtype=None):
+    """1-D conv; with ``compute_dtype=bfloat16`` the operands are cast for
+    the MXU (2x the f32 systolic rate on v5e) and the result is upcast
+    back so the BatchNorm statistics and residual sums downstream see f32
+    values.  The TPU MXU accumulates bf16 products in f32 internally, so
+    the only precision loss is one rounding of the conv output.  (Keeping
+    the output f32 via ``preferred_element_type`` instead breaks the conv
+    VJP — the transpose conv then mixes an f32 cotangent with bf16
+    operands, which lax rejects.)"""
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
         x,
         kernel,
         window_strides=(stride,),
         padding=[(padding, padding)],
         dimension_numbers=("NCH", "OIH", "NCH"),
     )
+    return y.astype(out_dtype) if compute_dtype is not None else y
 
 
 def _bn_init(c):
@@ -94,25 +108,26 @@ def _init_block(rng, c_in, c_out, stride, bottleneck: bool):
     return p, s, out_ch
 
 
-def _block_forward(x, p, s, stride, bottleneck, train):
+def _block_forward(x, p, s, stride, bottleneck, train, compute_dtype=None):
     new_s = {}
+    cd = compute_dtype
     if bottleneck:
-        out = conv1d(x, p["conv1"])
+        out = conv1d(x, p["conv1"], compute_dtype=cd)
         out, new_s["bn1"] = batchnorm(out, p["bn1"], s["bn1"], train)
         out = jax.nn.relu(out)
-        out = conv1d(out, p["conv2"], stride=stride, padding=1)
+        out = conv1d(out, p["conv2"], stride=stride, padding=1, compute_dtype=cd)
         out, new_s["bn2"] = batchnorm(out, p["bn2"], s["bn2"], train)
         out = jax.nn.relu(out)
-        out = conv1d(out, p["conv3"])
+        out = conv1d(out, p["conv3"], compute_dtype=cd)
         out, new_s["bn3"] = batchnorm(out, p["bn3"], s["bn3"], train)
     else:
-        out = conv1d(x, p["conv1"], stride=stride, padding=1)
+        out = conv1d(x, p["conv1"], stride=stride, padding=1, compute_dtype=cd)
         out, new_s["bn1"] = batchnorm(out, p["bn1"], s["bn1"], train)
         out = jax.nn.relu(out)
-        out = conv1d(out, p["conv2"], padding=1)
+        out = conv1d(out, p["conv2"], padding=1, compute_dtype=cd)
         out, new_s["bn2"] = batchnorm(out, p["bn2"], s["bn2"], train)
     if "shortcut_conv" in p:
-        sc = conv1d(x, p["shortcut_conv"], stride=stride)
+        sc = conv1d(x, p["shortcut_conv"], stride=stride, compute_dtype=cd)
         sc, new_s["shortcut_bn"] = batchnorm(sc, p["shortcut_bn"], s["shortcut_bn"], train)
     else:
         sc = x
@@ -153,14 +168,24 @@ def init_resnet(rng, variant: str = "resnet101", in_channels: int = 12):
     return params, state, meta
 
 
-def resnet_forward(params, state, meta, x, train: bool = False):
-    """x: (B, 12, L) -> features (B, C_out, L'); returns (y, new_state)."""
+def resnet_forward(params, state, meta, x, train: bool = False,
+                   compute_dtype=None):
+    """x: (B, 12, L) -> features (B, C_out, L'); returns (y, new_state).
+
+    ``compute_dtype=jnp.bfloat16`` runs every conv's MACs on the MXU in
+    bf16 with f32 accumulation (see conv1d); statistics, residual adds,
+    and parameters stay f32.  ``ECG_BYTE_RESNET_BF16=1`` turns it on when
+    the caller leaves it None (pretrain/finetune CLIs and bench)."""
+    if compute_dtype is None and os.environ.get("ECG_BYTE_RESNET_BF16") == "1":
+        compute_dtype = jnp.bfloat16
     new_state = {}
-    out = conv1d(x, params["stem_conv"], stride=2, padding=3)
+    out = conv1d(x, params["stem_conv"], stride=2, padding=3,
+                 compute_dtype=compute_dtype)
     out, new_state["stem_bn"] = batchnorm(out, params["stem_bn"], state["stem_bn"], train)
     out = jax.nn.relu(out)
     for name, stride in meta["strides"]:
         out, new_state[name] = _block_forward(
-            out, params[name], state[name], stride, meta["bottleneck"], train
+            out, params[name], state[name], stride, meta["bottleneck"], train,
+            compute_dtype=compute_dtype,
         )
     return out, new_state

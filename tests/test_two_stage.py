@@ -36,6 +36,37 @@ def test_resnet_bottleneck_channels():
     assert meta["out_channels"] == 2048
 
 
+def test_resnet_bf16_compute_parity():
+    """bf16-MXU conv path (f32 accumulation, f32 BN) tracks the f32 path
+    closely enough for contrastive pretraining; gradients flow."""
+    p, s, meta = resnet1d.init_resnet(jax.random.PRNGKey(0), "resnet18")
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 12, 256)), jnp.float32)
+    y32, st32 = resnet1d.resnet_forward(p, s, meta, x, train=True)
+    y16, st16 = resnet1d.resnet_forward(
+        p, s, meta, x, train=True, compute_dtype=jnp.bfloat16
+    )
+    assert y16.dtype == jnp.float32  # accumulation/output stays f32
+    a32, a16 = np.asarray(y32), np.asarray(y16)
+    denom = np.abs(a32).mean() + 1e-6
+    assert np.abs(a16 - a32).mean() / denom < 0.05
+    # BN running stats computed from the f32-accumulated activations agree
+    m32 = np.asarray(st32["stem_bn"]["mean"])
+    m16 = np.asarray(st16["stem_bn"]["mean"])
+    np.testing.assert_allclose(m16, m32, rtol=0.05, atol=1e-3)
+
+    def loss(p):
+        y, _ = resnet1d.resnet_forward(
+            p, s, meta, x, train=True, compute_dtype=jnp.bfloat16
+        )
+        return jnp.mean(jnp.square(y))
+
+    g = jax.grad(loss)(p)
+    gnorm = float(
+        sum(jnp.sum(jnp.square(v)) for v in jax.tree_util.tree_leaves(g))
+    )
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 def test_attention_pool():
     rng = jax.random.PRNGKey(1)
     p = enc.init_attention_pool(rng, spacial_dim=8, embed_dim=32, num_heads=4)
