@@ -23,9 +23,21 @@ chain; see BASELINE.md):
   heads' logits are ONE (S, KH*D) x (KH*D, H) MXU dot against the native
   cache block.  The 8x redundant FLOPs are ~0.2 us on the MXU —
   irrelevant next to the HBM stream.
-* PV: one (H, S) x (S, KH*D) dot produces every (query-head, kv-head)
-  combination; the correct diagonal blocks are gathered with KH
-  lane-rotations (``pltpu.roll`` keeps layouts canonical) + masked sum.
+* PV (grouped-query, g > 1): one (H, S) x (S, KH*D) dot produces every
+  (query-head, kv-head) combination; the correct diagonal blocks are
+  gathered with KH lane-rotations (``pltpu.roll`` keeps layouts
+  canonical) + masked sum.
+* PV (multi-head, g == 1, e.g. GPT-2): the roll-gather is skipped
+  entirely — the per-layer ablation (scripts/gpt2_ablate.py, v5e
+  2026-08-19) measured decode attention at ~98 us/layer for GPT-2-XL
+  (kh=25, 1600 unaligned lanes, 25 roll+mask passes), MORE than the
+  61.5 MB weight stream it rides next to, while llama's 8 rolls over
+  512 aligned lanes cost ~us.  For g == 1 the probabilities are instead
+  expanded across each head's D lanes with a ones-block-diagonal dot
+  ((S, KH) x (KH, KH*D), one MXU pass), multiplied elementwise with V
+  and summed over the cache rows — the (1, KH*D) result IS the native
+  output layout, no gather at all.  Measured end-to-end: GPT-2-XL
+  8.61 -> 4.37 ms/tok (116 -> 229 tok/s, scripts/gpt2_decode_diag.py).
 
 Semantics match decode_attention exactly (same grouped-query fold, same
 f32 logit/softmax precision, same int8 per-row scale application: K-scale
@@ -68,25 +80,60 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _kernel(mask_ref, qbd_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *,
-            scale, int8_scales, kh, g, d):
+def _kernel(mask_ref, row_ref, qbd_ref, k_ref, v_ref, ks_ref, vs_ref,
+            fk_ref, fv_ref, fks_ref, fvs_ref, o_ref, *,
+            scale, int8_scales, kh, g, d, fresh):
     h = kh * g
     kv = k_ref[0]  # (S, KH*D); int8 converts in-register
+    vv = v_ref[0]
+    ks = ks_ref[0] if int8_scales else None
+    vs = vs_ref[0] if int8_scales else None
+    if fresh:
+        # substitute this token's K/V row into the (stale) VMEM block —
+        # the HBM cache update (a dynamic-update-slice) then feeds ONLY
+        # the decode loop carry, never this kernel: the per-layer
+        # ablation (scripts/gpt2_ablate.py) measured that data edge at
+        # ~80 us/layer of copy traffic on GPT-2-XL shapes while each
+        # half alone is free.  Numerics are identical: the substituted
+        # row holds exactly the bytes _append_kv writes (int8 rows are
+        # pre-quantized by the caller).
+        sel = row_ref[0, 0][:, None] > 0  # (S, 1): row == write_idx
+        kv = jnp.where(sel, fk_ref[0], kv)
+        vv = jnp.where(sel, fv_ref[0], vv)
+        if int8_scales:
+            ks = jnp.where(sel, fks_ref[0], ks)
+            vs = jnp.where(sel, fvs_ref[0], vs)
     s_log = jax.lax.dot_general(
         kv.astype(qbd_ref.dtype), qbd_ref[0],
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     ) * scale  # (S, H)
     if int8_scales:
-        s_log = s_log * ks_ref[0]  # (S, H) f32, pre-expanded per q head
+        s_log = s_log * ks  # (S, H) f32, pre-expanded per q head
     ok = mask_ref[0, 0][:, None] > 0  # (S, 1)
     s_log = jnp.where(ok, s_log, _NEG_INF)
     m = jnp.max(s_log, axis=0, keepdims=True)
     p = jnp.exp(s_log - m)
     p = p / jnp.sum(p, axis=0, keepdims=True)
     if int8_scales:
-        p = p * vs_ref[0]  # (S, H) f32
+        p = p * vs  # (S, H) f32
+    if g == 1:
+        # MHA flat path: expand head probabilities across their D lanes
+        # (ones-block-diagonal dot), multiply with V, reduce over cache
+        # rows.  out[h*D+j] = sum_s p[s,h] * v[s,h*D+j] — already the
+        # native (1, KH*D) output layout, no per-head gather.
+        lane_head = jax.lax.broadcasted_iota(jnp.int32, (kh, kh * d), 1) // d
+        head_id = jax.lax.broadcasted_iota(jnp.int32, (kh, kh * d), 0)
+        expand = (lane_head == head_id).astype(jnp.float32)
+        p_exp = jax.lax.dot_general(  # (S, KH*D)
+            p.astype(qbd_ref.dtype).astype(jnp.float32), expand,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        out = jnp.sum(p_exp * vv.astype(jnp.float32), axis=0,
+                      keepdims=True)  # (1, KH*D)
+        o_ref[0] = out.astype(o_ref.dtype)
+        return
     full = jax.lax.dot_general(  # (H, KH*D): every (q-head, kv-head) pair
-        p.astype(qbd_ref.dtype), v_ref[0].astype(qbd_ref.dtype),
+        p.astype(qbd_ref.dtype), vv.astype(qbd_ref.dtype),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     # gather the diagonal blocks: rotate kv-head block ki down to lanes
@@ -142,6 +189,7 @@ def decode_attention_fused(
         vsf = ksf
         scale_w = 8
 
+    out_rows = 1 if g == 1 else h  # MHA flat path emits one packed row
     out = pl.pallas_call(
         functools.partial(
             _kernel, scale=d**-0.5, int8_scales=int8_scales, kh=kh, g=g, d=d
@@ -155,13 +203,16 @@ def decode_attention_fused(
             pl.BlockSpec((1, s, scale_w), lambda bi: (bi, 0, 0)),
             pl.BlockSpec((1, s, scale_w), lambda bi: (bi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, kh * d), lambda bi: (bi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, kh * d), q.dtype),
+        out_specs=pl.BlockSpec((1, out_rows, kh * d), lambda bi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, out_rows, kh * d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(mask, qbd, k2, v2, ksf, vsf)
+    if g == 1:
+        # the packed (1, KH*D) row is the (H, D) output, contiguously
+        return out.reshape(b, 1, h, d)
     return out[:, :, :d].reshape(b, 1, h, d)
 
 

@@ -38,6 +38,18 @@ def test_fused_matches_xla(int8):
     )
 
 
+@pytest.mark.parametrize("int8", [False, True])
+def test_fused_mha_flat_path_matches_xla(int8):
+    """g == 1 (MHA, e.g. GPT-2): the flat probs-expand PV path, including
+    an odd head count so the packed KH*D lane span is tile-unaligned."""
+    q, k, v, mask, ks, vs = _case(h=5, kh=5, int8=int8, seed=7)
+    want = decode_attention(q, k, v, mask, k_scale=ks, v_scale=vs)
+    got = decode_attention_fused(q, k, v, mask, ks, vs, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_fused_single_kv_head_gqa_fold():
     q, k, v, mask, *_ = _case(b=1, s=128, h=4, kh=1, seed=3)
     want = decode_attention(q, k, v, mask)
