@@ -1151,17 +1151,45 @@ def decode_step(
 
     def step(h, layer_p, lora_p, caches):
         def attn_fn(q, k, v):
-            new_caches = _append_kv(caches, k, v, write_idx)
             if use_fused:
                 from ecg_byte_tpu.ops.attention_decode import (
                     decode_attention_fused,
                 )
 
-                out = decode_attention_fused(
-                    q, new_caches["k"], new_caches["v"], cache_mask,
-                    new_caches.get("k_scale"), new_caches.get("v_scale"),
-                )
+                # feed the kernel the STALE cache + this token's row; the
+                # HBM append (dynamic-update-slice) then feeds only the
+                # decode loop carry, never the kernel — the DUS->kernel
+                # data edge measured ~80 us/layer of copy traffic on
+                # GPT-2-XL shapes (scripts/gpt2_ablate.py).
+                if caches["k"].dtype == jnp.int8:
+                    kq, ks_row = _quant_kv_rows(k)
+                    vq, vs_row = _quant_kv_rows(v)
+                    new_caches = dict(caches)
+                    new_caches["k"] = _cache_write(caches["k"], kq, write_idx)
+                    new_caches["v"] = _cache_write(caches["v"], vq, write_idx)
+                    new_caches["k_scale"] = _scale_write(
+                        caches["k_scale"], ks_row, write_idx
+                    )
+                    new_caches["v_scale"] = _scale_write(
+                        caches["v_scale"], vs_row, write_idx
+                    )
+                    out = decode_attention_fused(
+                        q, caches["k"], caches["v"], cache_mask,
+                        caches["k_scale"], caches["v_scale"],
+                        fresh_k=kq, fresh_v=vq,
+                        fresh_ks=ks_row, fresh_vs=vs_row,
+                        write_idx=write_idx,
+                    )
+                else:
+                    new_caches = _append_kv(caches, k, v, write_idx)
+                    out = decode_attention_fused(
+                        q, caches["k"], caches["v"], cache_mask,
+                        fresh_k=k.astype(caches["k"].dtype),
+                        fresh_v=v.astype(caches["v"].dtype),
+                        write_idx=write_idx,
+                    )
             else:
+                new_caches = _append_kv(caches, k, v, write_idx)
                 out = decode_attention(
                     q, new_caches["k"], new_caches["v"], cache_mask,
                     k_scale=new_caches.get("k_scale"),

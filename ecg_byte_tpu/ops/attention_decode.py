@@ -63,6 +63,13 @@ same-session bench.py A/B):
   kept behind ``ECG_BYTE_FUSED_DECODE_ATTN=force``.
 * Hardware (non-interpret) parity: max |delta| vs the XLA path 2.4e-4
   bf16 / 0.0 int8 (scripts/hw_parity.py on TPU v5 lite).
+* Fresh-row substitution (the ``fresh_k``/``write_idx`` path, which
+  feeds the kernel the stale pre-append cache + this token's row so the
+  HBM append feeds only the loop carry): same-process interleaved A/B
+  (v5e, 2026-08-19) bf16 284.5/294.9 tok/s fused+fresh vs 284.1/272.4
+  XLA — mean +4%, within this tunnel session's noise band, parity
+  exact; int8 under ``=force`` 490.9/495.6 vs 506.7/503.5 XLA (-2.5%,
+  the int8 negative stands and the default-OFF gate is unchanged).
 
 Role replaced: torch sdpa single-step path inside the reference's HF
 generate loop (ecg_byte/models/llm.py:26-37 budget).
@@ -166,13 +173,29 @@ def decode_attention_fused(
     k_scale: jax.Array | None = None,  # (B, S, KH) (int8 cache)
     v_scale: jax.Array | None = None,
     *,
+    fresh_k: jax.Array | None = None,  # (B, 1, KH, D), cache dtype
+    fresh_v: jax.Array | None = None,
+    fresh_ks: jax.Array | None = None,  # (B, 1, KH) f32 (int8 cache)
+    fresh_vs: jax.Array | None = None,
+    write_idx: jax.Array | None = None,  # int32 scalar: this token's slot
     interpret: bool = False,
 ) -> jax.Array:
-    """One-kernel-per-layer decode attention; returns (B, 1, H, D)."""
+    """One-kernel-per-layer decode attention; returns (B, 1, H, D).
+
+    With ``fresh_k/fresh_v`` (+ ``write_idx``) the caller passes this
+    token's K/V row directly and the STALE pre-append cache: the kernel
+    substitutes the row in VMEM, so the HBM dynamic-update-slice that
+    appends it feeds only the decode loop carry, never this kernel (see
+    module docstring for the measured data-edge cost).  For int8 caches
+    the fresh rows must be pre-quantized with their (B, 1, KH) scales.
+    """
     b, _, h, d = q.shape
     s, kh = k_cache.shape[1], k_cache.shape[2]
     g = h // kh
     int8_scales = k_scale is not None
+    fresh = fresh_k is not None
+    if fresh and write_idx is None:
+        raise ValueError("fresh_k requires write_idx")
 
     qbd = _block_diag_q(q, kh)  # (B, H, KH*D), ~KB-scale
     k2 = k_cache.reshape(b, s, kh * d)  # contiguous reshape, no copy
@@ -189,19 +212,48 @@ def decode_attention_fused(
         vsf = ksf
         scale_w = 8
 
+    if fresh:
+        row = (
+            jnp.arange(s, dtype=jnp.int32)[None, None, :]
+            == jnp.asarray(write_idx, jnp.int32)
+        ).astype(jnp.int32)
+        row = jnp.broadcast_to(row, (b, 1, s))
+        fk = fresh_k.reshape(b, 1, kh * d)
+        fv = fresh_v.reshape(b, 1, kh * d)
+        if int8_scales:
+            fks = jnp.repeat(fresh_ks.astype(jnp.float32), g, axis=2)
+            fvs = jnp.repeat(fresh_vs.astype(jnp.float32), g, axis=2)
+        else:
+            fks = jnp.ones((b, 1, scale_w), jnp.bfloat16)
+            fvs = fks
+    else:  # placeholders; kernel never reads them (fresh is static)
+        row = mask
+        fk = jnp.zeros((b, 1, 8), k_cache.dtype)
+        fv = fk
+        fks = jnp.ones((b, 1, 8), jnp.bfloat16)
+        fvs = fks
+    fw = fk.shape[2]
+    fsw = fks.shape[2]
+
     out_rows = 1 if g == 1 else h  # MHA flat path emits one packed row
     out = pl.pallas_call(
         functools.partial(
-            _kernel, scale=d**-0.5, int8_scales=int8_scales, kh=kh, g=g, d=d
+            _kernel, scale=d**-0.5, int8_scales=int8_scales, kh=kh, g=g,
+            d=d, fresh=fresh,
         ),
         grid=(b,),
         in_specs=[
+            pl.BlockSpec((1, 1, s), lambda bi: (bi, 0, 0)),
             pl.BlockSpec((1, 1, s), lambda bi: (bi, 0, 0)),
             pl.BlockSpec((1, h, kh * d), lambda bi: (bi, 0, 0)),
             pl.BlockSpec((1, s, kh * d), lambda bi: (bi, 0, 0)),
             pl.BlockSpec((1, s, kh * d), lambda bi: (bi, 0, 0)),
             pl.BlockSpec((1, s, scale_w), lambda bi: (bi, 0, 0)),
             pl.BlockSpec((1, s, scale_w), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, fw), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, fw), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, fsw), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, fsw), lambda bi: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, out_rows, kh * d), lambda bi: (bi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, out_rows, kh * d), q.dtype),
@@ -209,7 +261,7 @@ def decode_attention_fused(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(mask, qbd, k2, v2, ksf, vsf)
+    )(mask, row, qbd, k2, v2, ksf, vsf, fk, fv, fks, fvs)
     if g == 1:
         # the packed (1, KH*D) row is the (H, D) output, contiguously
         return out.reshape(b, 1, h, d)

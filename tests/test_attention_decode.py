@@ -59,6 +59,43 @@ def test_fused_single_kv_head_gqa_fold():
     )
 
 
+@pytest.mark.parametrize("int8", [False, True])
+def test_fused_fresh_row_substitution(int8):
+    """fresh_k/fresh_v + write_idx: the kernel sees the STALE pre-append
+    cache (garbage at the write slot) plus this token's row, and must
+    match the XLA path running on the appended cache."""
+    q, k, v, mask, ks, vs = _case(int8=int8, seed=11)
+    b, s, kh, d = k.shape
+    write_idx = jnp.int32(s // 2)
+    rng = np.random.default_rng(99)
+    if int8:
+        fk = jnp.asarray(rng.integers(-127, 128, (b, 1, kh, d)), jnp.int8)
+        fv = jnp.asarray(rng.integers(-127, 128, (b, 1, kh, d)), jnp.int8)
+        fks = jnp.asarray(rng.uniform(0.01, 0.05, (b, 1, kh)), jnp.float32)
+        fvs = jnp.asarray(rng.uniform(0.01, 0.05, (b, 1, kh)), jnp.float32)
+    else:
+        fk = jnp.asarray(rng.standard_normal((b, 1, kh, d)), jnp.float32)
+        fv = jnp.asarray(rng.standard_normal((b, 1, kh, d)), jnp.float32)
+        fks = fvs = None
+    # the appended cache the XLA oracle sees
+    k_new = k.at[:, s // 2].set(fk[:, 0])
+    v_new = v.at[:, s // 2].set(fv[:, 0])
+    ks_new = ks.at[:, s // 2].set(fks[:, 0]) if int8 else None
+    vs_new = vs.at[:, s // 2].set(fvs[:, 0]) if int8 else None
+    mask = mask.at[:, s // 2].set(1)
+    want = decode_attention(
+        q, k_new, v_new, mask, k_scale=ks_new, v_scale=vs_new
+    )
+    got = decode_attention_fused(
+        q, k, v, mask, ks, vs,
+        fresh_k=fk, fresh_v=fv, fresh_ks=fks, fresh_vs=fvs,
+        write_idx=write_idx, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_supported_gate():
     assert supported((1, 1, 32, 64), 1152, 64)
     assert not supported((1, 1, 32, 64), 1000, 64)  # s not lane-aligned
